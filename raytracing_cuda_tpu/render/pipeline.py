@@ -1,0 +1,58 @@
+"""Per-frame render pipeline: derive scene → raytrace → FXAA.
+
+This is the TPU-native equivalent of the reference's launchKernel
+(kernel.cu:406-462): where CUDA re-uploads constants and launches two kernels
+per frame, here the whole frame — per-frame scene derivation (recolor, sea
+level, light orbit), sky pre-blend, raytrace, FXAA — is a single jitted
+function of (scene, state, sky) so XLA fuses host-free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_cuda_tpu.core.types import Scene, SkyTextures
+from raytracing_cuda_tpu.render.fxaa import apply_fxaa
+from raytracing_cuda_tpu.render.reference import render_base_image
+from raytracing_cuda_tpu.scene.textures import blend_sky
+from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "chunk", "aspect", "fxaa_static"))
+def render_frame(scene: Scene, state: FrameState, sky_texels,
+                 height: int, width: int, chunk: int = 32768,
+                 aspect: float | None = None,
+                 fxaa_static: bool | None = None):
+    """Render one frame → (height, width, 3) uint8.
+
+    aspect defaults to width/height (see RenderConfig.aspect for the
+    reference's stale-aspect quirk). fxaa_static pins the FXAA branch at
+    compile time (None → runtime lax.cond on state.aa, like the reference's
+    per-frame `alias` flag kernel.cu:263).
+    """
+    if aspect is None:
+        aspect = width / height
+    scene_f, lights, ambient = derive_frame(scene, state)
+    rays = camera_rays(state.cam, aspect)
+    blended = blend_sky(sky_texels, state.sky_vars)
+    day_frac = state.day_time / 24.0
+    base = render_base_image(scene_f, lights, ambient, blended, day_frac,
+                             rays, height, width, chunk=chunk)
+    if fxaa_static is None:
+        return apply_fxaa(base, state.aa)
+    if fxaa_static:
+        from raytracing_cuda_tpu.render.fxaa import fxaa
+
+        return fxaa(base)
+    return base
+
+
+def render_frame_np(scene, state, sky: SkyTextures, height, width, **kw):
+    """Convenience wrapper returning a host numpy array."""
+    import numpy as np
+
+    return np.asarray(render_frame(scene, state, sky.texels, height, width, **kw))

@@ -1,0 +1,35 @@
+"""Test harness setup: force the CPU backend with 8 virtual devices.
+
+Must run before jax initializes — tests exercise multi-chip sharding on a
+virtual CPU mesh (SURVEY.md §4) and golden-frame parity on the CPU backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+from raytracing_cuda_tpu.scene.builders import build_scene
+from raytracing_cuda_tpu.scene.textures import procedural_skies
+
+
+@pytest.fixture(scope="session")
+def scene():
+    return build_scene()
+
+
+@pytest.fixture(scope="session")
+def sky_small():
+    """Small procedural sky so CPU tests stay fast."""
+    return procedural_skies(64, 128)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
