@@ -1,0 +1,116 @@
+"""Frame loop / engine facade (replaces main.cpp's GLUT shell).
+
+The reference couples its loop to GLUT callbacks and Win32 polling
+(main.cpp:220-268, scene.cpp:689-756). Here the Engine owns (scene, sky,
+state) and exposes step(action, dt) + frame(); drivers — headless benchmark
+runs, scripted camera paths, an interactive window — feed Actions in and
+take framebuffers out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_cuda_tpu.parallel.mesh import make_mesh, render_frame_sharded
+from raytracing_cuda_tpu.render.pipeline import render_frame
+from raytracing_cuda_tpu.scene.builders import build_scene
+from raytracing_cuda_tpu.scene.textures import load_skies
+from raytracing_cuda_tpu.sim import state as sim
+from raytracing_cuda_tpu.sim.actions import Action
+from raytracing_cuda_tpu.utils.config import RenderConfig
+from raytracing_cuda_tpu.utils.timing import FrameStats, FrameTimer
+
+
+class Engine:
+    """Scene + sky + frame state with a jitted render step."""
+
+    def __init__(self, config: RenderConfig | None = None, sharded: bool = False):
+        self.config = config or RenderConfig()
+        self.scene = jax.device_put(build_scene())
+        self.sky = load_skies(self.config.sky_source,
+                              downsample=self.config.sky_downsample,
+                              procedural_shape=self.config.procedural_sky_shape)
+        self.sky_texels = jax.device_put(self.sky.texels)
+        self.state = sim.settle(sim.init_state())
+        self.mesh = make_mesh() if sharded else None
+        self._animate = jax.jit(sim.animate)
+        c = self.config
+
+        def _step_render(scene, state, sky_texels, action, dt):
+            state = sim.animate(state, action, dt)
+            img = render_frame(scene, state, sky_texels, c.height, c.width,
+                               chunk=c.chunk, aspect=c.aspect)
+            return state, img
+
+        # one device dispatch per frame: state step + render fused
+        self._step_render = jax.jit(_step_render)
+
+    # --- state ---
+
+    def step(self, action: Action | None = None, dt: float = 1 / 60):
+        """Advance the host state machine one frame (idle/animate)."""
+        self.state = self._animate(self.state, action or Action.idle(),
+                                   jnp.float32(dt))
+        return self.state
+
+    def step_and_frame(self, action: Action | None = None, dt: float = 1 / 60):
+        """Fused step+render: a single jitted dispatch per frame."""
+        self.state, img = self._step_render(
+            self.scene, self.state, self.sky_texels,
+            action or Action.idle(), jnp.float32(dt))
+        return img
+
+    def set_state(self, state: sim.FrameState):
+        self.state = state
+
+    def time_string(self) -> str:
+        return sim.format_time(float(self.state.day_time))
+
+    # --- rendering ---
+
+    def frame(self):
+        """Render the current state → (H, W, 3) uint8 device array."""
+        c = self.config
+        if self.mesh is not None and self.mesh.size > 1:
+            return render_frame_sharded(
+                self.scene, self.state, self.sky_texels, mesh=self.mesh,
+                height=c.height, width=c.width, chunk=c.chunk, aspect=c.aspect)
+        return render_frame(self.scene, self.state, self.sky_texels,
+                            c.height, c.width, chunk=c.chunk, aspect=c.aspect)
+
+    def frame_np(self) -> np.ndarray:
+        return np.asarray(self.frame())
+
+    # --- drivers ---
+
+    def run(self, n_frames: int, action_fn: Callable[[int], Action] | None = None,
+            dt: float = 1 / 60, warmup: int = 2,
+            on_frame: Callable[[int, object], None] | None = None) -> FrameStats:
+        """Headless loop: step + render n_frames, return FPS/Mrays stats.
+
+        action_fn(i) supplies scripted input per frame (default: idle —
+        automatic time advance only, like the reference left running).
+        """
+        from raytracing_cuda_tpu.utils.timing import device_sync
+
+        c = self.config
+        state0 = self.state
+        for _ in range(warmup):
+            device_sync(self.step_and_frame(None, dt))
+        self.state = state0
+
+        timer = FrameTimer(c.width, c.height).start()
+        img = None
+        for i in range(n_frames):
+            img = self.step_and_frame(action_fn(i) if action_fn else None, dt)
+            if on_frame is not None:
+                on_frame(i, img)
+            timer.tick()
+        timer.tick(img)  # block once at the end; frames pipeline in between
+        timer.frames -= 1
+        return timer.stop()

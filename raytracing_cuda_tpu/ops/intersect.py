@@ -16,10 +16,12 @@ backface-culled with det < 0.001.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from raytracing_cuda_tpu.core.types import SPHERE, Scene
 
-INF = jnp.float32(jnp.inf)
+# plain numpy scalar: module import must not initialize a jax backend
+INF = np.float32(np.inf)
 
 
 def _dot(a, b):

@@ -6,11 +6,18 @@ virtual CPU mesh (SURVEY.md §4) and golden-frame parity on the CPU backend.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment's sitecustomize imports jax at interpreter startup
+# (registering the remote-TPU 'axon' backend), so JAX_PLATFORMS is already
+# consumed. XLA_FLAGS is still honored (read at first backend init), and
+# jax.config.update can override the platform after import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
