@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from raytracing_cuda_tpu.core.types import Scene, SkyTextures
+from raytracing_cuda_tpu.render.fast import render_base_image_fast
 from raytracing_cuda_tpu.render.fxaa import apply_fxaa
 from raytracing_cuda_tpu.render.reference import render_base_image
 from raytracing_cuda_tpu.scene.textures import blend_sky
@@ -22,17 +23,21 @@ from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "chunk", "aspect", "fxaa_static"))
+    jax.jit,
+    static_argnames=("height", "width", "chunk", "aspect", "fxaa_static", "path"))
 def render_frame(scene: Scene, state: FrameState, sky_texels,
                  height: int, width: int, chunk: int = 32768,
                  aspect: float | None = None,
-                 fxaa_static: bool | None = None):
+                 fxaa_static: bool | None = None,
+                 path: str = "fast"):
     """Render one frame → (height, width, 3) uint8.
 
     aspect defaults to width/height (see RenderConfig.aspect for the
     reference's stale-aspect quirk). fxaa_static pins the FXAA branch at
     compile time (None → runtime lax.cond on state.aa, like the reference's
-    per-frame `alias` flag kernel.cu:263).
+    per-frame `alias` flag kernel.cu:263). path selects the raytracer:
+    "fast" (default, render.fast) or "oracle" (render.reference — the
+    straight-line parity implementation).
     """
     if aspect is None:
         aspect = width / height
@@ -40,8 +45,9 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
     rays = camera_rays(state.cam, aspect)
     blended = blend_sky(sky_texels, state.sky_vars)
     day_frac = state.day_time / 24.0
-    base = render_base_image(scene_f, lights, ambient, blended, day_frac,
-                             rays, height, width, chunk=chunk)
+    render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
+    base = render(scene_f, lights, ambient, blended, day_frac,
+                  rays, height, width, chunk=chunk)
     if fxaa_static is None:
         return apply_fxaa(base, state.aa)
     if fxaa_static:

@@ -1,0 +1,72 @@
+"""Fast path vs parity oracle: render.fast must reproduce render.reference.
+
+The fast renderer restructures the math (linear-form intersections, deferred
+sky gather, chunk early-exit) but computes the same function; frames must
+agree except for borderline-epsilon pixels at geometric edges, where float
+reassociation can flip a compare. We assert sub-quantum RMSE and a tiny
+mismatched-pixel fraction across representative states.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracing_cuda_tpu.render.pipeline import render_frame
+from raytracing_cuda_tpu.scene.builders import build_scene
+from raytracing_cuda_tpu.scene.textures import procedural_skies
+from raytracing_cuda_tpu.sim import state as sim
+from raytracing_cuda_tpu.sim.actions import Action
+
+H, W = 96, 160
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_scene()
+
+
+@pytest.fixture(scope="module")
+def sky():
+    return jnp.asarray(procedural_skies(64, 128))
+
+
+def _state(day=6.0, cam_preset=None, sea=None, aa=True):
+    st = sim.init_state()._replace(day_time=jnp.float32(day))
+    if sea is not None:
+        st = st._replace(sea_y=jnp.float32(sea))
+    if cam_preset is not None:
+        st = sim.apply_controls(
+            st, Action.idle()._replace(cam_preset=np.int32(cam_preset)), 0.0)
+    return sim.settle(st._replace(aa=jnp.bool_(aa)))
+
+
+CASES = [
+    dict(day=6.0),                      # island, morning (init view)
+    dict(day=14.0, cam_preset=1),       # mountains, day
+    dict(day=1.0),                      # night: moon lit, sun under horizon
+    dict(day=18.0, sea=2.0),            # evening, island submerged
+    dict(day=9.0, aa=False),            # crossfade weights, FXAA off
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_fast_matches_oracle(scene, sky, case):
+    st = _state(**case)
+    fast = np.asarray(
+        render_frame(scene, st, sky, H, W, chunk=4096, path="fast"), np.float32)
+    oracle = np.asarray(
+        render_frame(scene, st, sky, H, W, chunk=4096, path="oracle"), np.float32)
+
+    diff = np.abs(fast - oracle)
+    rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+    mismatched = np.mean(np.any(diff > 1.0, axis=-1))
+    assert rmse < 2e-3, f"rmse {rmse}"
+    assert mismatched < 0.003, f"{mismatched:.4%} pixels differ by >1 level"
+
+
+def test_fast_chunk_invariance(scene, sky):
+    """Chunk size (and thus early-exit grouping) must not change output."""
+    st = _state(day=14.0)
+    a = np.asarray(render_frame(scene, st, sky, H, W, chunk=1024, path="fast"))
+    b = np.asarray(render_frame(scene, st, sky, H, W, chunk=H * W, path="fast"))
+    assert np.array_equal(a, b)
