@@ -1,0 +1,497 @@
+"""Raytracing Pallas TPU megakernel.
+
+The TPU-native counterpart of the reference's `raytracing` CUDA kernel
+(kernel.cu:228-259) — but where CUDA runs one divergent thread per pixel,
+this kernel runs one grid step per (TILE_H, TILE_W) pixel tile and keeps the
+ENTIRE working set in VMEM: the scene (packed into one (N_OBJ_PAD, 1, R)
+coefficient tensor, ~70 KB), every intersection plane, and the full bounce
+carry. One kernel launch renders the whole pre-sky framebuffer; nothing
+round-trips HBM between bounces.
+
+Structure per tile:
+  - primary rays from frustum-corner interpolation (kernel.cu:244-253),
+    generated in-kernel from iota — no ray buffer in HBM.
+  - intersection sweeps evaluate the linear-form tests (ops.linear_forms
+    docstring) over an object-batched (N, TILE_H, TILE_W) tensor; nearest-hit
+    and occlusion are sublane reductions (kernel.cu:144-151, 188-193).
+  - winner attributes resolve via an exact one-hot (unique object ids) and
+    masked sums — no gathers, which XLA lowers catastrophically on TPU.
+  - the recursion (kernel.cu:131-225) is 5 unrolled bounce iterations, each
+    wrapped in lax.cond("any lane live") so sky tiles pay one sweep and most
+    tiles skip the deep reflection levels — the tile-granular analogue of the
+    sequential early-outs the reference gets for free.
+  - misses record (throughput, direction); the equirect sky gather
+    (kernel.cu:156-163) runs once per pixel afterwards in XLA, fused with
+    the final combine + quantize.
+
+Outputs 7 (H, W) f32 planes: hit-path RGB, miss weight, miss direction xyz.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_cuda_tpu.core.types import SPHERE, Lights, Scene
+
+f32 = jnp.float32
+
+MAX_DEPTH = 4        # kernel.cu:11
+BIG = 1e30           # finite stand-in for +inf (avoids inf-inf NaN traps)
+
+# --- packed scene-tensor channel map (lanes of the (N_OBJ_PAD, 1, R) tensor) ---
+C_COL = 0            # 0-2   color rgb
+C_SHINE = 3
+C_SPEC = 4           # specular exponent
+C_KR = 5             # mirror coefficient
+C_ISLIGHT = 6
+C_ISSPH = 7
+C_CENTER = 8         # 8-10  sphere center (shading normal)
+C_NORMAL = 11        # 11-13 static normal (plane/tris)
+C_POS2 = 14          # sphere |pos|^2
+C_R2 = 15            # sphere r^2
+C_CDET = 16          # 16-18 tri e2×e1
+C_AU = 19            # 19-21 tri v0×e2
+C_BU = 22            # 22-24 tri e2
+C_AV = 25            # 25-27 tri e1×v0
+C_BV = 28            # 28-30 tri e1
+C_N = 31             # 31-33 tri e1×e2
+C_V0N = 34           # tri v0·n
+C_VALID = 35         # 1 for real objects, 0 for padding slots
+C_BLOCKS = 36        # occludes shadow rays (non-emissive), kernel.cu:188-193
+C_GIDX = 37          # reference object index (f32-exact; tie-break key)
+N_CHANNELS = 40
+
+# --- params vector layout (SMEM) ---
+P_CAMPOS = 0         # 0-2
+P_LD = 3             # 3-5
+P_RD = 6
+P_LU = 9
+P_RU = 12
+P_LPOS0 = 15         # 15-17 light 0 position
+P_LPOS1 = 18
+P_LCOL0 = 21         # 21-23
+P_LCOL1 = 24
+P_LINT = 27          # 27-28 intensities
+P_AMBIENT = 29       # 29-31
+P_SEAY = 32          # sea plane height
+N_PARAMS = 40
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def pack_scene(scene: Scene, lights: Lights, ambient):
+    """Build the (N_OBJ_PAD, 1, N_CHANNELS) coefficient tensor + params vec.
+
+    Slot 0 is the sea plane, then padded triangles, then padded spheres —
+    tie-break relies only on the C_GIDX channel, so slot order is free.
+    Runs inside jit each frame (a few hundred floats).
+    """
+    T, S = scene.n_triangles, scene.n_spheres
+    t_pad = _round_up(T, 8)
+    s_pad = _round_up(S, 8)
+    n_pad = _round_up(1 + t_pad + s_pad, 8)
+
+    def seg(count, pad, **ch):
+        rows = jnp.zeros((pad, N_CHANNELS), f32)
+        for c0, v in ch.items():
+            c = int(c0)
+            v = jnp.asarray(v, f32)
+            if v.ndim == 1:
+                v = v[:, None]
+            rows = jax.lax.dynamic_update_slice(rows, v, (0, c))
+        return rows
+
+    v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+    n = jnp.cross(e1, e2)
+    tg = scene.tri_gidx
+    tri_rows = seg(
+        T, t_pad,
+        **{str(C_COL): scene.color[tg], str(C_SHINE): scene.shine[tg],
+           str(C_SPEC): scene.specular[tg], str(C_KR): scene.mirror[tg],
+           str(C_NORMAL): scene.static_normal[tg],
+           str(C_CDET): jnp.cross(e2, e1), str(C_AU): jnp.cross(v0, e2),
+           str(C_BU): e2, str(C_AV): jnp.cross(e1, v0), str(C_BV): e1,
+           str(C_N): n, str(C_V0N): jnp.sum(v0 * n, axis=-1),
+           str(C_VALID): jnp.ones(T, f32), str(C_BLOCKS): jnp.ones(T, f32),
+           str(C_GIDX): tg.astype(f32)})
+
+    sg = scene.sph_gidx
+    pos = scene.sph_pos
+    is_light = scene.is_light[sg].astype(f32)
+    sph_rows = seg(
+        S, s_pad,
+        **{str(C_COL): scene.color[sg], str(C_SHINE): scene.shine[sg],
+           str(C_SPEC): scene.specular[sg], str(C_KR): scene.mirror[sg],
+           str(C_ISLIGHT): is_light, str(C_ISSPH): jnp.ones(S, f32),
+           str(C_CENTER): pos, str(C_POS2): jnp.sum(pos * pos, axis=-1),
+           str(C_R2): scene.sph_r * scene.sph_r,
+           str(C_VALID): jnp.ones(S, f32), str(C_BLOCKS): 1.0 - is_light,
+           str(C_GIDX): sg.astype(f32)})
+
+    pl_rows = seg(
+        1, 1,
+        **{str(C_COL): scene.color[0:1], str(C_SHINE): scene.shine[0:1],
+           str(C_SPEC): scene.specular[0:1], str(C_KR): scene.mirror[0:1],
+           str(C_NORMAL): scene.plane_normal[None, :],
+           str(C_VALID): jnp.ones(1, f32), str(C_BLOCKS): jnp.ones(1, f32),
+           str(C_GIDX): jnp.zeros(1, f32)})
+
+    rows = jnp.concatenate([pl_rows, tri_rows, sph_rows], axis=0)
+    rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
+    # padding slots must never win: t stays BIG via valid=0; gidx large
+    pad_gidx = jnp.where(rows[:, C_VALID] > 0, rows[:, C_GIDX], f32(1e9))
+    rows = rows.at[:, C_GIDX].set(pad_gidx)
+    return rows[:, None, :]          # (N_OBJ_PAD, 1, N_CHANNELS)
+
+
+def pack_params(cam_rays, lights: Lights, ambient, sea_y):
+    p = jnp.zeros((N_PARAMS,), f32)
+    segs = [
+        (P_CAMPOS, cam_rays.pos), (P_LD, cam_rays.LD), (P_RD, cam_rays.RD),
+        (P_LU, cam_rays.LU), (P_RU, cam_rays.RU),
+        (P_LPOS0, lights.pos[0]), (P_LPOS1, lights.pos[1]),
+        (P_LCOL0, lights.color[0]), (P_LCOL1, lights.color[1]),
+        (P_LINT, lights.intensity), (P_AMBIENT, jnp.asarray(ambient, f32)),
+        (P_SEAY, jnp.asarray(sea_y, f32)[None]),
+    ]
+    for off, v in segs:
+        p = jax.lax.dynamic_update_slice(p, jnp.asarray(v, f32).reshape(-1), (off,))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _vec3(C, c):
+    """Channel triple from the coef tensor → three (N, 1, 1) object columns."""
+    return C[:, :, c:c + 1], C[:, :, c + 1:c + 2], C[:, :, c + 2:c + 3]
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _ge0(x):
+    # f32 {0,1} masks combined by multiplication: Mosaic cannot lower
+    # boolean-algebra ops on 3D tensors (i8->i1 truncation unsupported)
+    return jnp.where(x >= 0, 1.0, 0.0)
+
+
+def _tri_t(Ct, ox, oy, oz, dx, dy, dz, mx, my, mz):
+    """Triangle sweep → t (T_PAD, TH, TW), BIG where miss.
+
+    Det-scaled Möller-Trumbore linear forms (ops.linear_forms docstring);
+    epsilons per kernel.cu:95-126. Padding rows have all-zero coefficients
+    → det = 0 → rejected by the det >= 0.001 cull.
+    """
+    cdx, cdy, cdz = _vec3(Ct, C_CDET)
+    aux, auy, auz = _vec3(Ct, C_AU)
+    bux, buy, buz = _vec3(Ct, C_BU)
+    avx, avy, avz = _vec3(Ct, C_AV)
+    bvx, bvy, bvz = _vec3(Ct, C_BV)
+    nx, ny, nz = _vec3(Ct, C_N)
+    det = _dot3(dx, dy, dz, cdx, cdy, cdz)
+    u_det = _dot3(dx, dy, dz, aux, auy, auz) + _dot3(mx, my, mz, bux, buy, buz)
+    v_det = _dot3(dx, dy, dz, avx, avy, avz) - _dot3(mx, my, mz, bvx, bvy, bvz)
+    t_det = _dot3(ox, oy, oz, nx, ny, nz) - Ct[:, :, C_V0N:C_V0N + 1]
+    hit = (jnp.where(det >= 0.001, 1.0, 0.0) * _ge0(u_det) * _ge0(v_det)
+           * _ge0(det - u_det - v_det) * _ge0(t_det))
+    t = t_det / jnp.where(hit > 0, det, 1.0)
+    return jnp.where(hit > 0, t, BIG)
+
+
+def _sph_t(Cs, ox, oy, oz, dx, dy, dz):
+    """Sphere sweep → t (S_PAD, TH, TW), BIG where miss (kernel.cu:47-69).
+
+    Padding rows have r² = 0 → d2 < r2 always false → rejected.
+    """
+    px, py, pz = _vec3(Cs, C_CENTER)
+    od = _dot3(ox, oy, oz, dx, dy, dz)
+    oo = _dot3(ox, oy, oz, ox, oy, oz)
+    tca = _dot3(dx, dy, dz, px, py, pz) - od
+    ll = Cs[:, :, C_POS2:C_POS2 + 1] - 2.0 * _dot3(ox, oy, oz, px, py, pz) + oo
+    d2 = ll - tca * tca
+    r2 = Cs[:, :, C_R2:C_R2 + 1]
+    hit = (jnp.where(tca > 0, 1.0, 0.0) * jnp.where(d2 < r2, 1.0, 0.0)
+           * jnp.where(d2 > -0.01, 1.0, 0.0))
+    t = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    return jnp.where(hit > 0, t, BIG)
+
+
+def _plane_t(oy, dy, sea_y):
+    """Sea-plane t (TH, TW), BIG where miss (kernel.cu:71-94)."""
+    t = (sea_y - oy) / dy
+    hit = (jnp.where(dy * dy > 0.00001, 1.0, 0.0) * _ge0(t))
+    return jnp.where(hit > 0, t, BIG)
+
+
+def _occluded(Ct, Cs, sph_blocks, ox, oy, oz, dx, dy, dz, max_dist, sea_y):
+    """Shadow sweep: any shadow-blocking object with t < max_dist
+    (kernel.cu:188-193; light proxy spheres never occlude)."""
+    mx = oy[0] * dz[0] - oz[0] * dy[0]
+    my = oz[0] * dx[0] - ox[0] * dz[0]
+    mz = ox[0] * dy[0] - oy[0] * dx[0]
+    t_tri = _tri_t(Ct, ox, oy, oz, dx, dy, dz, mx[None], my[None], mz[None])
+    any_tri = jnp.min(t_tri, axis=0) < max_dist
+    t_sph = jnp.where(sph_blocks > 0, _sph_t(Cs, ox, oy, oz, dx, dy, dz), BIG)
+    any_sph = jnp.min(t_sph, axis=0) < max_dist
+    any_pl = _plane_t(oy[0], dy[0], sea_y) < max_dist
+    return ((jnp.where(any_tri, 1.0, 0.0) + jnp.where(any_sph, 1.0, 0.0)
+             + jnp.where(any_pl, 1.0, 0.0)) > 0)
+
+
+def _make_kernel(H, W, TH, TW, t_pad, s_pad):
+    def kernel(params_ref, coef_ref,
+               r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        P = params_ref
+        C = coef_ref[:]                      # (N_OBJ_PAD, 1, N_CHANNELS)
+        Ct = C[1:1 + t_pad]                  # triangle rows
+        Cs = C[1 + t_pad:1 + t_pad + s_pad]  # sphere rows
+        Cp = C[0:1, 0, :]                    # sea plane row, (1, N_CHANNELS)
+        sph_blocks = Cs[:, :, C_BLOCKS:C_BLOCKS + 1]
+        sea_y = P[P_SEAY]
+
+        # --- primary rays (kernel.cu:244-253) ---
+        row = (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+        col = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
+        px = col * (1.0 / (W - 1))
+        py = row * (1.0 / (H - 1))
+
+        def corner(base):
+            return P[base], P[base + 1], P[base + 2]
+
+        ldx, ldy, ldz = corner(P_LD)
+        rdx, rdy, rdz = corner(P_RD)
+        lux, luy, luz = corner(P_LU)
+        rux, ruy, ruz = corner(P_RU)
+        vdx = ldx + (rdx - ldx) * px
+        vdy = ldy + (rdy - ldy) * px
+        vdz = ldz + (rdz - ldz) * px
+        vux = lux + (rux - lux) * px
+        vuy = luy + (ruy - luy) * px
+        vuz = luz + (ruz - luz) * px
+        dx, dy, dz = _norm3(vux - (vux - vdx) * py,
+                            vuy - (vuy - vdy) * py,
+                            vuz - (vuz - vdz) * py)
+        ox = jnp.full((TH, TW), P[P_CAMPOS], f32)
+        oy = jnp.full((TH, TW), P[P_CAMPOS + 1], f32)
+        oz = jnp.full((TH, TW), P[P_CAMPOS + 2], f32)
+
+        zeros = jnp.zeros((TH, TW), f32)
+        carry = (ox, oy, oz, dx, dy, dz,
+                 jnp.ones((TH, TW), f32),            # throughput
+                 zeros, zeros, zeros,                # rgb acc
+                 jnp.ones((TH, TW), f32),            # live mask (f32: Mosaic
+                 zeros,                              # rejects i1 loop carries)
+                 dx, dy, dz)                         # miss dir
+
+        ambx, amby, ambz = P[P_AMBIENT], P[P_AMBIENT + 1], P[P_AMBIENT + 2]
+
+        def bounce(carry):
+            (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
+             mw, mdx, mdy, mdz) = carry
+
+            mx = oy * dz - oz * dy          # m = o×d
+            my = oz * dx - ox * dz
+            mz = ox * dy - oy * dx
+            t_tri = _tri_t(Ct, ox[None], oy[None], oz[None],
+                           dx[None], dy[None], dz[None],
+                           mx[None], my[None], mz[None])
+            t_sph = _sph_t(Cs, ox[None], oy[None], oz[None],
+                           dx[None], dy[None], dz[None])
+            t_pl = _plane_t(oy, dy, sea_y)
+            t_min = jnp.minimum(jnp.minimum(jnp.min(t_tri, axis=0),
+                                            jnp.min(t_sph, axis=0)), t_pl)
+            hit_f = jnp.where(t_min < BIG * 0.5, 1.0, 0.0)
+
+            # winner id via min-reduction over per-object gidx (lowest id on
+            # exact ties, matching the strict-'<' scan kernel.cu:144-151)
+            g_tri = Ct[:, :, C_GIDX:C_GIDX + 1]
+            g_sph = Cs[:, :, C_GIDX:C_GIDX + 1]
+            win_g = jnp.minimum(
+                jnp.min(jnp.where(t_tri == t_min[None], g_tri, f32(1e9)), axis=0),
+                jnp.min(jnp.where(t_sph == t_min[None], g_sph, f32(1e9)), axis=0))
+            win_g = jnp.where(t_pl == t_min, 0.0, win_g)
+            oh_tri = (jnp.where(g_tri == win_g[None], 1.0, 0.0)
+                      * jnp.where(t_tri < BIG * 0.5, 1.0, 0.0))
+            oh_sph = (jnp.where(g_sph == win_g[None], 1.0, 0.0)
+                      * jnp.where(t_sph < BIG * 0.5, 1.0, 0.0))
+            pl_f = jnp.where((win_g == 0.0) & (t_pl < BIG * 0.5), 1.0, 0.0)
+
+            def attr(c):
+                return (jnp.sum(oh_tri * Ct[:, :, c:c + 1], axis=0)
+                        + jnp.sum(oh_sph * Cs[:, :, c:c + 1], axis=0)
+                        + pl_f * Cp[0, c])
+
+            colr, colg, colb = attr(C_COL), attr(C_COL + 1), attr(C_COL + 2)
+            shine = attr(C_SHINE)
+            spec_e = attr(C_SPEC)
+            kr = attr(C_KR)
+            emissive = attr(C_ISLIGHT) > 0
+            is_sph = attr(C_ISSPH) > 0
+            cx, cy, cz = attr(C_CENTER), attr(C_CENTER + 1), attr(C_CENTER + 2)
+            snx, sny, snz = attr(C_NORMAL), attr(C_NORMAL + 1), attr(C_NORMAL + 2)
+
+            # --- miss → deferred sky ---
+            miss = live * (1.0 - hit_f) > 0
+            mw = jnp.where(miss, thr, mw)
+            mdx = jnp.where(miss, dx, mdx)
+            mdy = jnp.where(miss, dy, mdy)
+            mdz = jnp.where(miss, dz, mdz)
+
+            hx = ox + dx * t_min
+            hy = oy + dy * t_min
+            hz = oz + dz * t_min
+            sphnx, sphny, sphnz = _norm3(hx - cx, hy - cy, hz - cz)
+            nx = jnp.where(is_sph, sphnx, snx)
+            ny = jnp.where(is_sph, sphny, sny)
+            nz = jnp.where(is_sph, sphnz, snz)
+
+            # --- emissive sun/moon proxies (kernel.cu:169) ---
+            em_f = jnp.where(emissive, 1.0, 0.0)
+            lit = live * hit_f * em_f > 0
+            ra = ra + jnp.where(lit, thr * colr, 0.0)
+            ga = ga + jnp.where(lit, thr * colg, 0.0)
+            ba = ba + jnp.where(lit, thr * colb, 0.0)
+
+            # --- Phong + hard shadows (kernel.cu:172-206) ---
+            shaded_f = live * hit_f * (1.0 - em_f)
+            shaded = shaded_f > 0
+            phr = colr * ambx
+            phg = colg * amby
+            phb = colb * ambz
+            for li in range(2):
+                base = P_LPOS0 if li == 0 else P_LPOS1
+                cbase = P_LCOL0 if li == 0 else P_LCOL1
+                lvx = P[base] - hx
+                lvy = P[base + 1] - hy
+                lvz = P[base + 2] - hz
+                sdist = jnp.sqrt(lvx * lvx + lvy * lvy + lvz * lvz)
+                inv = 1.0 / sdist
+                sdx, sdy, sdz = lvx * inv, lvy * inv, lvz * inv
+                angle = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
+                # shadow sweep is unconditional: Mosaic cannot legalize
+                # nested scf.if (cond-in-cond), so the per-light skip is
+                # folded into the tile-level bounce skip only
+                occ = _occluded(Ct, Cs, sph_blocks,
+                                (hx + sdx * 0.001)[None],
+                                (hy + sdy * 0.001)[None],
+                                (hz + sdz * 0.001)[None],
+                                sdx[None], sdy[None], sdz[None],
+                                sdist, sea_y)
+                angle = jnp.where(occ, 0.0, angle)
+                aint = angle * P[P_LINT + li]
+                phr = phr + colr * P[cbase] * aint
+                phg = phg + colg * P[cbase + 1] * aint
+                phb = phb + colb * P[cbase + 2] * aint
+
+                # Phong specular (kernel.cu:198-205): reflect -sdir about n
+                ldn = -(sdx * nx + sdy * ny + sdz * nz)
+                spx, spy, spz = _norm3(-sdx - 2.0 * ldn * nx,
+                                       -sdy - 2.0 * ldn * ny,
+                                       -sdz - 2.0 * ldn * nz)
+                sbase = jnp.maximum(0.0, -(spx * dx + spy * dy + spz * dz))
+                spec = jnp.where(
+                    shine > 0,
+                    jnp.exp2(spec_e * jnp.log2(jnp.maximum(sbase, 1e-30)))
+                    * shine * angle,
+                    0.0)
+                phr = phr + spec
+                phg = phg + spec
+                phb = phb + spec
+
+            w = jnp.where(shaded, thr * (1.0 - kr), 0.0)
+            ra = ra + w * phr
+            ga = ga + w * phg
+            ba = ba + w * phb
+
+            # --- mirror bounce (kernel.cu:209-218) ---
+            ddn = dx * nx + dy * ny + dz * nz
+            rx, ry, rz = _norm3(dx - 2.0 * ddn * nx,
+                                dy - 2.0 * ddn * ny,
+                                dz - 2.0 * ddn * nz)
+            bounce_f = shaded_f * jnp.where(kr > 0, 1.0, 0.0)
+            bounce_on = bounce_f > 0
+            ox = jnp.where(bounce_on, hx + rx * 0.001, ox)
+            oy = jnp.where(bounce_on, hy + ry * 0.001, oy)
+            oz = jnp.where(bounce_on, hz + rz * 0.001, oz)
+            dx = jnp.where(bounce_on, rx, dx)
+            dy = jnp.where(bounce_on, ry, dy)
+            dz = jnp.where(bounce_on, rz, dz)
+            thr = jnp.where(bounce_on, thr * kr, thr)
+            return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, bounce_f,
+                    mw, mdx, mdy, mdz)
+
+        # bounce loop as a device-side fori (5 unrolled copies bloat the MLIR
+        # past what the Mosaic compile helper tolerates); the lax.cond still
+        # skips whole iterations for tiles with no live lanes.
+        carry = jax.lax.fori_loop(
+            0, MAX_DEPTH + 1,
+            lambda k, c: jax.lax.cond(jnp.max(c[10]) > 0, bounce,
+                                      lambda x: x, c),
+            carry)
+
+        (_, _, _, _, _, _, _, ra, ga, ba, _, mw, mdx, mdy, mdz) = carry
+        r_ref[:] = ra
+        g_ref[:] = ga
+        b_ref[:] = ba
+        mw_ref[:] = mw
+        mdx_ref[:] = mdx
+        mdy_ref[:] = mdy
+        mdz_ref[:] = mdz
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "H", "W", "TH", "TW", "t_pad", "s_pad", "interpret"))
+def raytrace_planes(coef, params, H: int, W: int, t_pad: int, s_pad: int,
+                    TH: int = 8, TW: int = 256, interpret: bool = False):
+    """Run the megakernel → (r, g, b, miss_w, mdx, mdy, mdz), each (H, W) f32."""
+    grid = (pl.cdiv(H, TH), pl.cdiv(W, TW))
+    out = jax.ShapeDtypeStruct((H, W), f32)
+    tile = lambda i, j: (i, j)
+    kernel = _make_kernel(H, W, TH, TW, t_pad, s_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((TH, TW), tile, memory_space=pltpu.VMEM)
+            for _ in range(7)),
+        out_shape=(out,) * 7,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params, coef)
+
+
+def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
+                              height: int, width: int, tile_h: int = 8,
+                              tile_w: int = 256, interpret: bool = False):
+    """Scene → packed tensors → megakernel → 7 framebuffer planes."""
+    coef = pack_scene(scene, lights, ambient)
+    params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1])
+    t_pad = _round_up(scene.n_triangles, 8)
+    s_pad = _round_up(scene.n_spheres, 8)
+    return raytrace_planes(coef, params, height, width, t_pad, s_pad,
+                           tile_h, tile_w, interpret)

@@ -45,9 +45,21 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
     rays = camera_rays(state.cam, aspect)
     blended = blend_sky(sky_texels, state.sky_vars)
     day_frac = state.day_time / 24.0
-    render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
-    base = render(scene_f, lights, ambient, blended, day_frac,
-                  rays, height, width, chunk=chunk)
+    if path in ("pallas", "pallas_interpret"):
+        from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+        from raytracing_cuda_tpu.render.reference import quantize
+        from raytracing_cuda_tpu.scene.textures import sample_sky
+
+        r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
+            scene_f, lights, ambient, rays, height, width,
+            interpret=(path == "pallas_interpret"))
+        mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
+        sky = sample_sky(blended, mdir, day_frac)
+        base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
+    else:
+        render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
+        base = render(scene_f, lights, ambient, blended, day_frac,
+                      rays, height, width, chunk=chunk)
     if fxaa_static is None:
         return apply_fxaa(base, state.aa)
     if fxaa_static:

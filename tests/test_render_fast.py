@@ -70,3 +70,18 @@ def test_fast_chunk_invariance(scene, sky):
     a = np.asarray(render_frame(scene, st, sky, H, W, chunk=1024, path="fast"))
     b = np.asarray(render_frame(scene, st, sky, H, W, chunk=H * W, path="fast"))
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("case", [CASES[0], CASES[1], CASES[3]])
+def test_pallas_matches_oracle(scene, sky, case):
+    """Pallas megakernel (interpret mode on CPU) vs the parity oracle."""
+    st = _state(**case)
+    pall = np.asarray(
+        render_frame(scene, st, sky, H, W, path="pallas_interpret"), np.float32)
+    oracle = np.asarray(
+        render_frame(scene, st, sky, H, W, chunk=4096, path="oracle"), np.float32)
+    diff = np.abs(pall - oracle)
+    rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+    mismatched = np.mean(np.any(diff > 1.0, axis=-1))
+    assert rmse < 2e-3, f"rmse {rmse}"
+    assert mismatched < 0.003, f"{mismatched:.4%} pixels differ by >1 level"
