@@ -88,67 +88,71 @@ def _round_up(x, m):
 
 
 def pack_scene(scene: Scene, lights: Lights, ambient):
-    """Build the (N_OBJ_PAD, 1, N_CHANNELS) coefficient tensor + params vec.
+    """Build the (N_OBJ_PAD, 1, N_CHANNELS) coefficient tensor.
 
     Slot 0 is the sea plane, then padded triangles, then padded spheres —
     tie-break relies only on the C_GIDX channel, so slot order is free.
-    Runs inside jit each frame (a few hundred floats).
+    Assembled as one concatenation per segment (not per-channel updates) to
+    keep the per-frame XLA op count low. Runs inside jit each frame.
     """
     T, S = scene.n_triangles, scene.n_spheres
     t_pad = _round_up(T, 8)
     s_pad = _round_up(S, 8)
     n_pad = _round_up(1 + t_pad + s_pad, 8)
 
-    def seg(count, pad, **ch):
-        rows = jnp.zeros((pad, N_CHANNELS), f32)
-        for c0, v in ch.items():
-            c = int(c0)
-            v = jnp.asarray(v, f32)
-            if v.ndim == 1:
-                v = v[:, None]
-            rows = jax.lax.dynamic_update_slice(rows, v, (0, c))
-        return rows
+    def col(v):
+        v = jnp.asarray(v, f32)
+        return v[:, None] if v.ndim == 1 else v
+
+    def zeros(n, c):
+        return jnp.zeros((n, c), f32)
 
     v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
     n = jnp.cross(e1, e2)
     tg = scene.tri_gidx
-    tri_rows = seg(
-        T, t_pad,
-        **{str(C_COL): scene.color[tg], str(C_SHINE): scene.shine[tg],
-           str(C_SPEC): scene.specular[tg], str(C_KR): scene.mirror[tg],
-           str(C_NORMAL): scene.static_normal[tg],
-           str(C_CDET): jnp.cross(e2, e1), str(C_AU): jnp.cross(v0, e2),
-           str(C_BU): e2, str(C_AV): jnp.cross(e1, v0), str(C_BV): e1,
-           str(C_N): n, str(C_V0N): jnp.sum(v0 * n, axis=-1),
-           str(C_VALID): jnp.ones(T, f32), str(C_BLOCKS): jnp.ones(T, f32),
-           str(C_GIDX): tg.astype(f32)})
+    ones_t = jnp.ones((T, 1), f32)
+    tri_rows = jnp.concatenate([
+        col(scene.color[tg]), col(scene.shine[tg]), col(scene.specular[tg]),
+        col(scene.mirror[tg]), zeros(T, 2),            # islight, issph
+        zeros(T, 3), col(scene.static_normal[tg]),     # center, normal
+        zeros(T, 2),                                   # pos2, r2
+        col(jnp.cross(e2, e1)), col(jnp.cross(v0, e2)), col(e2),
+        col(jnp.cross(e1, v0)), col(e1), col(n),
+        col(jnp.sum(v0 * n, axis=-1)),
+        ones_t, ones_t,                                # valid, blocks
+        col(tg.astype(f32)), zeros(T, N_CHANNELS - C_GIDX - 1),
+    ], axis=1)
 
     sg = scene.sph_gidx
     pos = scene.sph_pos
-    is_light = scene.is_light[sg].astype(f32)
-    sph_rows = seg(
-        S, s_pad,
-        **{str(C_COL): scene.color[sg], str(C_SHINE): scene.shine[sg],
-           str(C_SPEC): scene.specular[sg], str(C_KR): scene.mirror[sg],
-           str(C_ISLIGHT): is_light, str(C_ISSPH): jnp.ones(S, f32),
-           str(C_CENTER): pos, str(C_POS2): jnp.sum(pos * pos, axis=-1),
-           str(C_R2): scene.sph_r * scene.sph_r,
-           str(C_VALID): jnp.ones(S, f32), str(C_BLOCKS): 1.0 - is_light,
-           str(C_GIDX): sg.astype(f32)})
+    is_light = col(scene.is_light[sg].astype(f32))
+    ones_s = jnp.ones((S, 1), f32)
+    sph_rows = jnp.concatenate([
+        col(scene.color[sg]), col(scene.shine[sg]), col(scene.specular[sg]),
+        col(scene.mirror[sg]), is_light, ones_s,
+        col(pos), zeros(S, 3),
+        col(jnp.sum(pos * pos, axis=-1)), col(scene.sph_r * scene.sph_r),
+        zeros(S, 19),                                  # tri coefficients
+        ones_s, 1.0 - is_light,
+        col(sg.astype(f32)), zeros(S, N_CHANNELS - C_GIDX - 1),
+    ], axis=1)
 
-    pl_rows = seg(
-        1, 1,
-        **{str(C_COL): scene.color[0:1], str(C_SHINE): scene.shine[0:1],
-           str(C_SPEC): scene.specular[0:1], str(C_KR): scene.mirror[0:1],
-           str(C_NORMAL): scene.plane_normal[None, :],
-           str(C_VALID): jnp.ones(1, f32), str(C_BLOCKS): jnp.ones(1, f32),
-           str(C_GIDX): jnp.zeros(1, f32)})
+    pl_row = jnp.concatenate([
+        col(scene.color[0:1]), col(scene.shine[0:1]), col(scene.specular[0:1]),
+        col(scene.mirror[0:1]), zeros(1, 2),
+        zeros(1, 3), col(scene.plane_normal[None, :]),
+        zeros(1, 21),
+        jnp.ones((1, 2), f32),                         # valid, blocks
+        zeros(1, N_CHANNELS - C_GIDX),                 # gidx = 0
+    ], axis=1)
 
-    rows = jnp.concatenate([pl_rows, tri_rows, sph_rows], axis=0)
-    rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
-    # padding slots must never win: t stays BIG via valid=0; gidx large
-    pad_gidx = jnp.where(rows[:, C_VALID] > 0, rows[:, C_GIDX], f32(1e9))
-    rows = rows.at[:, C_GIDX].set(pad_gidx)
+    pad_row = jnp.zeros((1, N_CHANNELS), f32).at[0, C_GIDX].set(1e9)
+    rows = jnp.concatenate([
+        pl_row,
+        tri_rows, jnp.broadcast_to(pad_row, (t_pad - T, N_CHANNELS)),
+        sph_rows, jnp.broadcast_to(pad_row, (s_pad - S, N_CHANNELS)),
+        jnp.broadcast_to(pad_row, (n_pad - 1 - t_pad - s_pad, N_CHANNELS)),
+    ], axis=0)
     return rows[:, None, :]          # (N_OBJ_PAD, 1, N_CHANNELS)
 
 
@@ -181,7 +185,8 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def _norm3(x, y, z):
-    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    # guarded: zero vectors (masked-out lanes in skip branches) stay finite
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
     return x * inv, y * inv, z * inv
 
 
@@ -303,10 +308,9 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
 
         ambx, amby, ambz = P[P_AMBIENT], P[P_AMBIENT + 1], P[P_AMBIENT + 2]
 
-        def bounce(carry):
-            (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
-             mw, mdx, mdy, mdz) = carry
-
+        def nearest_fn(args):
+            """Nearest-hit sweep + winner attributes + deferred-miss record."""
+            ox, oy, oz, dx, dy, dz, thr, live, mw, mdx, mdy, mdz = args
             mx = oy * dz - oz * dy          # m = o×d
             my = oz * dx - ox * dz
             mz = ox * dy - oy * dx
@@ -339,15 +343,6 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
                         + jnp.sum(oh_sph * Cs[:, :, c:c + 1], axis=0)
                         + pl_f * Cp[0, c])
 
-            colr, colg, colb = attr(C_COL), attr(C_COL + 1), attr(C_COL + 2)
-            shine = attr(C_SHINE)
-            spec_e = attr(C_SPEC)
-            kr = attr(C_KR)
-            emissive = attr(C_ISLIGHT) > 0
-            is_sph = attr(C_ISSPH) > 0
-            cx, cy, cz = attr(C_CENTER), attr(C_CENTER + 1), attr(C_CENTER + 2)
-            snx, sny, snz = attr(C_NORMAL), attr(C_NORMAL + 1), attr(C_NORMAL + 2)
-
             # --- miss → deferred sky ---
             miss = live * (1.0 - hit_f) > 0
             mw = jnp.where(miss, thr, mw)
@@ -355,16 +350,56 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
             mdy = jnp.where(miss, dy, mdy)
             mdz = jnp.where(miss, dz, mdz)
 
-            hx = ox + dx * t_min
-            hy = oy + dy * t_min
-            hz = oz + dz * t_min
+            return (hit_f, t_min * hit_f,        # t clamped to 0 on miss
+                    attr(C_COL), attr(C_COL + 1), attr(C_COL + 2),
+                    attr(C_SHINE), attr(C_SPEC), attr(C_KR),
+                    attr(C_ISLIGHT), attr(C_ISSPH),
+                    attr(C_CENTER), attr(C_CENTER + 1), attr(C_CENTER + 2),
+                    attr(C_NORMAL), attr(C_NORMAL + 1), attr(C_NORMAL + 2),
+                    mw, mdx, mdy, mdz)
+
+        def nearest_skip(args):
+            mw, mdx, mdy, mdz = args[8], args[9], args[10], args[11]
+            z = jnp.zeros((TH, TW), f32)
+            return (z,) * 16 + (mw, mdx, mdy, mdz)
+
+        def shadow_fn(args):
+            # returns an f32 {0,1} mask: scf.if cannot yield i1 vectors
+            hx, hy, hz, sdx, sdy, sdz, sdist = args
+            occ = _occluded(Ct, Cs, sph_blocks,
+                            (hx + sdx * 0.001)[None],
+                            (hy + sdy * 0.001)[None],
+                            (hz + sdz * 0.001)[None],
+                            sdx[None], sdy[None], sdz[None],
+                            sdist, sea_y)
+            return jnp.where(occ, 1.0, 0.0)
+
+        def step(k, carry):
+            """One bounce level. The three sweeps (nearest, shadow×2) are
+            SIBLING lax.conds in the loop body — Mosaic cannot legalize
+            nested scf.if, so per-light shadow skipping is flattened to the
+            same level as the tile-liveness skip. Sky tiles run one sweep;
+            dead tiles run none; lit tiles without shadow-facing lanes skip
+            the occlusion sweeps (the reference's early-outs, kernel.cu:192,
+            at tile granularity)."""
+            (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
+             mw, mdx, mdy, mdz) = carry
+
+            (hit_f, t_pos, colr, colg, colb, shine, spec_e, kr, em_f, issph_f,
+             cx, cy, cz, snx, sny, snz, mw, mdx, mdy, mdz) = jax.lax.cond(
+                jnp.max(live) > 0, nearest_fn, nearest_skip,
+                (ox, oy, oz, dx, dy, dz, thr, live, mw, mdx, mdy, mdz))
+
+            hx = ox + dx * t_pos
+            hy = oy + dy * t_pos
+            hz = oz + dz * t_pos
+            is_sph = issph_f > 0
             sphnx, sphny, sphnz = _norm3(hx - cx, hy - cy, hz - cz)
             nx = jnp.where(is_sph, sphnx, snx)
             ny = jnp.where(is_sph, sphny, sny)
             nz = jnp.where(is_sph, sphnz, snz)
 
             # --- emissive sun/moon proxies (kernel.cu:169) ---
-            em_f = jnp.where(emissive, 1.0, 0.0)
             lit = live * hit_f * em_f > 0
             ra = ra + jnp.where(lit, thr * colr, 0.0)
             ga = ga + jnp.where(lit, thr * colg, 0.0)
@@ -386,16 +421,12 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
                 inv = 1.0 / sdist
                 sdx, sdy, sdz = lvx * inv, lvy * inv, lvz * inv
                 angle = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
-                # shadow sweep is unconditional: Mosaic cannot legalize
-                # nested scf.if (cond-in-cond), so the per-light skip is
-                # folded into the tile-level bounce skip only
-                occ = _occluded(Ct, Cs, sph_blocks,
-                                (hx + sdx * 0.001)[None],
-                                (hy + sdy * 0.001)[None],
-                                (hz + sdz * 0.001)[None],
-                                sdx[None], sdy[None], sdz[None],
-                                sdist, sea_y)
-                angle = jnp.where(occ, 0.0, angle)
+                need = shaded_f * jnp.where(angle > 0, 1.0, 0.0)
+                occ_f = jax.lax.cond(
+                    jnp.max(need) > 0, shadow_fn,
+                    lambda a: jnp.zeros((TH, TW), f32),
+                    (hx, hy, hz, sdx, sdy, sdz, sdist))
+                angle = jnp.where(occ_f > 0, 0.0, angle)
                 aint = angle * P[P_LINT + li]
                 phr = phr + colr * P[cbase] * aint
                 phg = phg + colg * P[cbase + 1] * aint
@@ -438,14 +469,7 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
             return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, bounce_f,
                     mw, mdx, mdy, mdz)
 
-        # bounce loop as a device-side fori (5 unrolled copies bloat the MLIR
-        # past what the Mosaic compile helper tolerates); the lax.cond still
-        # skips whole iterations for tiles with no live lanes.
-        carry = jax.lax.fori_loop(
-            0, MAX_DEPTH + 1,
-            lambda k, c: jax.lax.cond(jnp.max(c[10]) > 0, bounce,
-                                      lambda x: x, c),
-            carry)
+        carry = jax.lax.fori_loop(0, MAX_DEPTH + 1, step, carry)
 
         (_, _, _, _, _, _, _, ra, ga, ba, _, mw, mdx, mdy, mdz) = carry
         r_ref[:] = ra

@@ -48,13 +48,14 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
     if path in ("pallas", "pallas_interpret"):
         from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
         from raytracing_cuda_tpu.render.reference import quantize
-        from raytracing_cuda_tpu.scene.textures import sample_sky
+        from raytracing_cuda_tpu.scene.textures import pack_sky, sample_sky_packed
 
         r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
             scene_f, lights, ambient, rays, height, width,
             interpret=(path == "pallas_interpret"))
         mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
-        sky = sample_sky(blended, mdir, day_frac)
+        sh, sw = blended.shape[0], blended.shape[1]
+        sky = sample_sky_packed(pack_sky(blended), sh, sw, mdir, day_frac)
         base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
     else:
         render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]

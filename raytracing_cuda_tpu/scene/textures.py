@@ -138,3 +138,25 @@ def sample_sky(blended, d, day_frac):
     iy = jnp.clip((y * h).astype(jnp.int32), 0, h - 1)
     texel = blended.reshape(-1, 3)[iy * w + ix]
     return texel.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
+
+def pack_sky(blended):
+    """Pack the blended (H, W, 3) uint8 sky into a flat int32 plane.
+
+    One int32 gather per sky ray instead of a 3-byte row gather — XLA's TPU
+    gather pays per index, so packing channels triples throughput.
+    """
+    b32 = blended.astype(jnp.int32)
+    return (b32[..., 0] | (b32[..., 1] << 8) | (b32[..., 2] << 16)).reshape(-1)
+
+
+def sample_sky_packed(packed, h, w, d, day_frac):
+    """Equirect lookup (kernel.cu:156-163) on a pack_sky plane → (..., 3) f32."""
+    y = 1.0 - (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + PI / 2.0) / PI
+    x = jnp.mod((jnp.arctan2(d[..., 0], d[..., 2]) + PI) / (2.0 * PI) + day_frac, 1.0)
+    ix = jnp.clip((x * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip((y * h).astype(jnp.int32), 0, h - 1)
+    texel = packed[iy * w + ix]
+    rgb = jnp.stack([texel & 0xFF, (texel >> 8) & 0xFF, (texel >> 16) & 0xFF],
+                    axis=-1)
+    return rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
