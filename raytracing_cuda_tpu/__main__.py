@@ -1,0 +1,123 @@
+"""Command-line entry points.
+
+  python -m raytracing_cuda_tpu window              interactive viewer
+  python -m raytracing_cuda_tpu render out.png      one frame to PNG
+  python -m raytracing_cuda_tpu record out_dir/     scripted animation frames
+  python -m raytracing_cuda_tpu bench               sustained-FPS loop
+
+The reference exposes only `raytracing.exe [-device=N]` (main.cpp:338-384);
+these subcommands cover the same interactive use plus the headless drivers a
+display-less TPU host needs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _config(args) -> "RenderConfig":
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    w, h = (int(v) for v in args.size.lower().split("x"))
+    return RenderConfig(width=w, height=h, sky_source=args.sky, path=args.path,
+                        procedural_sky_shape=(1024, 2048))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="raytracing_cuda_tpu")
+    ap.add_argument("command", choices=["window", "render", "record", "bench"])
+    ap.add_argument("target", nargs="?", default=None,
+                    help="output png (render) / output dir (record)")
+    ap.add_argument("--size", default="1280x720")
+    ap.add_argument("--sky", default="auto",
+                    choices=["auto", "reference", "procedural"])
+    ap.add_argument("--path", default="auto",
+                    choices=["auto", "pallas", "fast", "oracle"])
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--day", type=float, default=None, help="clock hour 0-24")
+    ap.add_argument("--cam", type=int, default=None, help="camera preset 0/1")
+    ap.add_argument("--no-aa", action="store_true")
+    args = ap.parse_args(argv)
+
+    # this environment's sitecustomize may import jax (consuming JAX_PLATFORMS)
+    # before we run; re-apply the user's platform choice if they set one
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+    if args.command == "window":
+        from raytracing_cuda_tpu.app.window import run_window
+
+        run_window(_config(args))
+        return 0
+
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.sim import state as sim
+    from raytracing_cuda_tpu.sim.actions import Action
+
+    eng = Engine(_config(args))
+    st = eng.state
+    if args.day is not None:
+        import jax.numpy as jnp
+
+        st = st._replace(day_time=jnp.float32(args.day))
+    if args.cam is not None:
+        st = sim.apply_controls(
+            st, Action.idle()._replace(cam_preset=np.int32(args.cam)), 0.0)
+    if args.no_aa:
+        import jax.numpy as jnp
+
+        st = st._replace(aa=jnp.bool_(False))
+    eng.set_state(sim.settle(st))
+
+    if args.command == "render":
+        from raytracing_cuda_tpu.utils.images import save_png
+
+        out = args.target or "frame.png"
+        save_png(eng.frame_np(), out)
+        print(f"wrote {out}")
+        return 0
+
+    if args.command == "record":
+        from raytracing_cuda_tpu.utils import frameio
+
+        out_dir = args.target or "frames"
+        os.makedirs(out_dir, exist_ok=True)
+        if not frameio.available():
+            frameio.build()   # compiles native/frameio once; PIL fallback below
+
+        def scripted(i):
+            return Action.idle()._replace(
+                mouse_dx=np.float32(3.0 * np.sin(i * 0.05)),
+                time_control=np.int32(1))
+
+        def emit_all(write):
+            for i in range(args.frames):
+                img = eng.step_and_frame(scripted(i), 1 / 30)
+                write(np.asarray(img), os.path.join(out_dir, f"{i:04d}.png"))
+
+        if frameio.available():
+            with frameio.AsyncFrameWriter(ring=4) as w:   # off the hot loop
+                emit_all(w.submit)
+        else:
+            emit_all(frameio.write_png)
+        print(f"wrote {args.frames} frames to {out_dir}")
+        return 0
+
+    if args.command == "bench":
+        stats = eng.run(args.frames)
+        print(stats.as_dict())
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,6 +30,9 @@ class Engine:
     """Scene + sky + frame state with a jitted render step."""
 
     def __init__(self, config: RenderConfig | None = None, sharded: bool = False):
+        from raytracing_cuda_tpu.utils.config import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config or RenderConfig()
         self.scene = jax.device_put(build_scene())
         self.sky = load_skies(self.config.sky_source,
@@ -38,13 +41,15 @@ class Engine:
         self.sky_texels = jax.device_put(self.sky.texels)
         self.state = sim.settle(sim.init_state())
         self.mesh = make_mesh() if sharded else None
+        self.path = self.config.resolved_path()
         self._animate = jax.jit(sim.animate)
         c = self.config
+        path = self.path
 
         def _step_render(scene, state, sky_texels, action, dt):
             state = sim.animate(state, action, dt)
             img = render_frame(scene, state, sky_texels, c.height, c.width,
-                               chunk=c.chunk, aspect=c.aspect)
+                               chunk=c.chunk, aspect=c.aspect, path=path)
             return state, img
 
         # one device dispatch per frame: state step + render fused
@@ -81,7 +86,8 @@ class Engine:
                 self.scene, self.state, self.sky_texels, mesh=self.mesh,
                 height=c.height, width=c.width, chunk=c.chunk, aspect=c.aspect)
         return render_frame(self.scene, self.state, self.sky_texels,
-                            c.height, c.width, chunk=c.chunk, aspect=c.aspect)
+                            c.height, c.width, chunk=c.chunk, aspect=c.aspect,
+                            path=self.path)
 
     def frame_np(self) -> np.ndarray:
         return np.asarray(self.frame())

@@ -1,0 +1,124 @@
+"""Interactive window: pygame display + input → Action mapping.
+
+TPU-native replacement for the reference's GLUT/Win32 shell (main.cpp:338-443,
+scene.cpp:689-756): instead of a CUDA-GL interop PBO the frame is rendered by
+the jitted pipeline and blitted from a host array; instead of per-frame Win32
+GetAsyncKeyState polling, pygame's key state snapshot feeds the pure
+sim.animate step. Controls follow the reference README:
+
+  mouse        look (pointer captured; ESC releases)   scene.cpp:128-140
+  W/A/S/D      move, Q/E up/down, SHIFT run            scene.cpp:142-163
+  LEFT/RIGHT   scrub time of day (x4 speed)            scene.cpp:691-698
+  O / P        pause / play the day cycle              scene.cpp:700-706
+  UP/DOWN      raise / lower sea level                 scene.cpp:708-712
+  1/2/3/4      time presets (morning/day/evening/night) scene.cpp:713-728
+  5 / 6        camera presets (island / mountains)     scene.cpp:736-747
+  B / V        FXAA on / off                           scene.cpp:750-755
+  F            toggle fullscreen                       main.cpp:277-284
+  ESC          quit                                    main.cpp:286-289
+
+The window title shows FPS and the HH:MM clock like the reference's
+`timerEvent` (main.cpp:230-237) and `getTime` (scene.cpp:731-733).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from raytracing_cuda_tpu.app.loop import Engine
+from raytracing_cuda_tpu.sim.actions import Action
+from raytracing_cuda_tpu.utils.config import RenderConfig
+
+
+def poll_action(pygame, grab: bool) -> Action:
+    """Build this frame's Action from pygame's key/mouse state."""
+    k = pygame.key.get_pressed()
+    K = pygame.K_d, pygame.K_a, pygame.K_w, pygame.K_s, pygame.K_q, pygame.K_e
+    d, a, w, s, q, e = (np.int32(1) if k[x] else np.int32(0) for x in K)
+    mdx, mdy = pygame.mouse.get_rel() if grab else (0, 0)
+
+    def preset(keys):
+        for i, key in enumerate(keys):
+            if k[key]:
+                return np.int32(i)
+        return np.int32(-1)
+
+    return Action(
+        move_side=d - a, move_forward=w - s, move_up=q - e,
+        run=np.bool_(k[pygame.K_LSHIFT] or k[pygame.K_RSHIFT]),
+        mouse_dx=np.float32(mdx), mouse_dy=np.float32(mdy),
+        time_control=(np.int32(1) if k[pygame.K_RIGHT] else np.int32(0))
+        - (np.int32(1) if k[pygame.K_LEFT] else np.int32(0)),
+        set_play=np.bool_(k[pygame.K_p]), set_pause=np.bool_(k[pygame.K_o]),
+        sea_control=(np.int32(1) if k[pygame.K_UP] else np.int32(0))
+        - (np.int32(1) if k[pygame.K_DOWN] else np.int32(0)),
+        time_preset=preset((pygame.K_1, pygame.K_2, pygame.K_3, pygame.K_4)),
+        cam_preset=preset((pygame.K_5, pygame.K_6)),
+        set_aa_on=np.bool_(k[pygame.K_b]), set_aa_off=np.bool_(k[pygame.K_v]),
+    )
+
+
+def run_window(config: RenderConfig | None = None, max_frames: int | None = None):
+    """Open the interactive viewer. Blocks until ESC / window close.
+
+    max_frames bounds the loop for smoke tests on headless CI (with the
+    SDL_VIDEODRIVER=dummy driver).
+    """
+    import pygame
+
+    config = config or RenderConfig()
+    engine = Engine(config)
+
+    pygame.init()
+    screen = pygame.display.set_mode((config.width, config.height))
+    pygame.display.set_caption("raytracing_cuda_tpu")
+    grab = pygame.display.get_driver() != "dummy"
+    if grab:
+        pygame.mouse.set_visible(False)        # main.cpp:430 hides the cursor
+        pygame.event.set_grab(True)
+        pygame.mouse.get_rel()                 # swallow the initial jump
+
+    fullscreen = False
+    last = time.perf_counter()
+    fps_acc, fps_n, fps_t0 = 0.0, 0, last
+    frames = 0
+    running = True
+    while running and (max_frames is None or frames < max_frames):
+        for ev in pygame.event.get():
+            if ev.type == pygame.QUIT:
+                running = False
+            elif ev.type == pygame.KEYDOWN:
+                if ev.key == pygame.K_ESCAPE:
+                    running = False
+                elif ev.key == pygame.K_f:     # fullscreen toggle
+                    fullscreen = not fullscreen
+                    flags = pygame.FULLSCREEN if fullscreen else 0
+                    screen = pygame.display.set_mode(
+                        (config.width, config.height), flags)
+
+        now = time.perf_counter()
+        dt, last = now - last, now             # updateDelta, main.cpp:255-258
+        img = np.asarray(engine.step_and_frame(poll_action(pygame, grab), dt))
+
+        surf = pygame.surfarray.make_surface(img.transpose(1, 0, 2))
+        screen.blit(surf, (0, 0))
+        pygame.display.flip()
+        frames += 1
+
+        # FPS + clock in the title every 0.5 s (REFRESH_DELAY, main.cpp:32)
+        fps_acc += 1.0 / max(dt, 1e-6)
+        fps_n += 1
+        if now - fps_t0 >= 0.5:
+            pygame.display.set_caption(
+                f"raytracing_cuda_tpu   {fps_acc / fps_n:5.1f} fps   "
+                f"{engine.time_string()}")
+            fps_acc, fps_n, fps_t0 = 0.0, 0, now
+
+    pygame.quit()
+    return frames
+
+
+if __name__ == "__main__":
+    run_window()

@@ -49,8 +49,8 @@ C_COL = 0            # 0-2   color rgb
 C_SHINE = 3
 C_SPEC = 4           # specular exponent
 C_KR = 5             # mirror coefficient
-C_ISLIGHT = 6
-C_ISSPH = 7
+C_FLAGS = 6          # islight*2 + issph (one attr reduction for both)
+C_UNUSED7 = 7
 C_CENTER = 8         # 8-10  sphere center (shading normal)
 C_NORMAL = 11        # 11-13 static normal (plane/tris)
 C_POS2 = 14          # sphere |pos|^2
@@ -113,7 +113,7 @@ def pack_scene(scene: Scene, lights: Lights, ambient):
     ones_t = jnp.ones((T, 1), f32)
     tri_rows = jnp.concatenate([
         col(scene.color[tg]), col(scene.shine[tg]), col(scene.specular[tg]),
-        col(scene.mirror[tg]), zeros(T, 2),            # islight, issph
+        col(scene.mirror[tg]), zeros(T, 2),            # flags, unused
         zeros(T, 3), col(scene.static_normal[tg]),     # center, normal
         zeros(T, 2),                                   # pos2, r2
         col(jnp.cross(e2, e1)), col(jnp.cross(v0, e2)), col(e2),
@@ -129,8 +129,8 @@ def pack_scene(scene: Scene, lights: Lights, ambient):
     ones_s = jnp.ones((S, 1), f32)
     sph_rows = jnp.concatenate([
         col(scene.color[sg]), col(scene.shine[sg]), col(scene.specular[sg]),
-        col(scene.mirror[sg]), is_light, ones_s,
-        col(pos), zeros(S, 3),
+        col(scene.mirror[sg]), 2.0 * is_light + 1.0, zeros(S, 1),
+        col(pos), col(pos),                            # center; normal slot = center
         col(jnp.sum(pos * pos, axis=-1)), col(scene.sph_r * scene.sph_r),
         zeros(S, 19),                                  # tri coefficients
         ones_s, 1.0 - is_light,
@@ -213,10 +213,14 @@ def _tri_t(Ct, ox, oy, oz, dx, dy, dz, mx, my, mz):
     u_det = _dot3(dx, dy, dz, aux, auy, auz) + _dot3(mx, my, mz, bux, buy, buz)
     v_det = _dot3(dx, dy, dz, avx, avy, avz) - _dot3(mx, my, mz, bvx, bvy, bvz)
     t_det = _dot3(ox, oy, oz, nx, ny, nz) - Ct[:, :, C_V0N:C_V0N + 1]
-    hit = (jnp.where(det >= 0.001, 1.0, 0.0) * _ge0(u_det) * _ge0(v_det)
-           * _ge0(det - u_det - v_det) * _ge0(t_det))
-    t = t_det / jnp.where(hit > 0, det, 1.0)
-    return jnp.where(hit > 0, t, BIG)
+    # accept ⟺ min(det-0.001, u·det, v·det, det-u·det-v·det, t·det) ≥ 0 —
+    # one compare instead of five (all tests share the same strictness)
+    acc = jnp.minimum(jnp.minimum(det - 0.001, t_det),
+                      jnp.minimum(jnp.minimum(u_det, v_det),
+                                  det - u_det - v_det))
+    hit = acc >= 0
+    t = t_det / jnp.where(hit, det, 1.0)
+    return jnp.where(hit, t, BIG)
 
 
 def _sph_t(Cs, ox, oy, oz, dx, dy, dz):
@@ -231,17 +235,17 @@ def _sph_t(Cs, ox, oy, oz, dx, dy, dz):
     ll = Cs[:, :, C_POS2:C_POS2 + 1] - 2.0 * _dot3(ox, oy, oz, px, py, pz) + oo
     d2 = ll - tca * tca
     r2 = Cs[:, :, C_R2:C_R2 + 1]
-    hit = (jnp.where(tca > 0, 1.0, 0.0) * jnp.where(d2 < r2, 1.0, 0.0)
-           * jnp.where(d2 > -0.01, 1.0, 0.0))
+    # accept ⟺ min(tca, r²-d², d²+0.01) > 0 (all strict)
+    acc = jnp.minimum(tca, jnp.minimum(r2 - d2, d2 + 0.01))
     t = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
-    return jnp.where(hit > 0, t, BIG)
+    return jnp.where(acc > 0, t, BIG)
 
 
 def _plane_t(oy, dy, sea_y):
     """Sea-plane t (TH, TW), BIG where miss (kernel.cu:71-94)."""
     t = (sea_y - oy) / dy
-    hit = (jnp.where(dy * dy > 0.00001, 1.0, 0.0) * _ge0(t))
-    return jnp.where(hit > 0, t, BIG)
+    hit = (dy * dy > 0.00001) & (t >= 0)      # 2D op — bools are fine here
+    return jnp.where(hit, t, BIG)
 
 
 def _occluded(Ct, Cs, sph_blocks, ox, oy, oz, dx, dy, dz, max_dist, sea_y):
@@ -353,15 +357,14 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
             return (hit_f, t_min * hit_f,        # t clamped to 0 on miss
                     attr(C_COL), attr(C_COL + 1), attr(C_COL + 2),
                     attr(C_SHINE), attr(C_SPEC), attr(C_KR),
-                    attr(C_ISLIGHT), attr(C_ISSPH),
-                    attr(C_CENTER), attr(C_CENTER + 1), attr(C_CENTER + 2),
+                    attr(C_FLAGS),                   # islight*2 + issph
                     attr(C_NORMAL), attr(C_NORMAL + 1), attr(C_NORMAL + 2),
                     mw, mdx, mdy, mdz)
 
         def nearest_skip(args):
             mw, mdx, mdy, mdz = args[8], args[9], args[10], args[11]
             z = jnp.zeros((TH, TW), f32)
-            return (z,) * 16 + (mw, mdx, mdy, mdz)
+            return (z,) * 12 + (mw, mdx, mdy, mdz)
 
         def shadow_fn(args):
             # returns an f32 {0,1} mask: scf.if cannot yield i1 vectors
@@ -385,35 +388,30 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
             (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
              mw, mdx, mdy, mdz) = carry
 
-            (hit_f, t_pos, colr, colg, colb, shine, spec_e, kr, em_f, issph_f,
-             cx, cy, cz, snx, sny, snz, mw, mdx, mdy, mdz) = jax.lax.cond(
+            (hit_f, t_pos, colr, colg, colb, shine, spec_e, kr, flags,
+             nvx, nvy, nvz, mw, mdx, mdy, mdz) = jax.lax.cond(
                 jnp.max(live) > 0, nearest_fn, nearest_skip,
                 (ox, oy, oz, dx, dy, dz, thr, live, mw, mdx, mdy, mdz))
 
             hx = ox + dx * t_pos
             hy = oy + dy * t_pos
             hz = oz + dz * t_pos
-            is_sph = issph_f > 0
-            sphnx, sphny, sphnz = _norm3(hx - cx, hy - cy, hz - cz)
-            nx = jnp.where(is_sph, sphnx, snx)
-            ny = jnp.where(is_sph, sphny, sny)
-            nz = jnp.where(is_sph, sphnz, snz)
-
-            # --- emissive sun/moon proxies (kernel.cu:169) ---
-            lit = live * hit_f * em_f > 0
-            ra = ra + jnp.where(lit, thr * colr, 0.0)
-            ga = ga + jnp.where(lit, thr * colg, 0.0)
-            ba = ba + jnp.where(lit, thr * colb, 0.0)
-
-            # --- Phong + hard shadows (kernel.cu:172-206) ---
+            # flags = islight*2 + issph; the normal-slot vec3 is the static
+            # normal for tris/plane and the CENTER for spheres
+            em_f = jnp.where(flags >= 2.0, 1.0, 0.0)
+            is_sph = (flags - 2.0 * em_f) > 0
+            sphnx, sphny, sphnz = _norm3(hx - nvx, hy - nvy, hz - nvz)
+            nx = jnp.where(is_sph, sphnx, nvx)
+            ny = jnp.where(is_sph, sphny, nvy)
+            nz = jnp.where(is_sph, sphnz, nvz)
             shaded_f = live * hit_f * (1.0 - em_f)
-            shaded = shaded_f > 0
-            phr = colr * ambx
-            phg = colg * amby
-            phb = colb * ambz
+
+            # per-light geometry stays unconditional (the shadow `need`
+            # masks want the angles); shadowed angles collected per light
+            angles = []
+            sdirs = []
             for li in range(2):
                 base = P_LPOS0 if li == 0 else P_LPOS1
-                cbase = P_LCOL0 if li == 0 else P_LCOL1
                 lvx = P[base] - hx
                 lvy = P[base + 1] - hy
                 lvz = P[base + 2] - hz
@@ -426,48 +424,85 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
                     jnp.max(need) > 0, shadow_fn,
                     lambda a: jnp.zeros((TH, TW), f32),
                     (hx, hy, hz, sdx, sdy, sdz, sdist))
-                angle = jnp.where(occ_f > 0, 0.0, angle)
-                aint = angle * P[P_LINT + li]
-                phr = phr + colr * P[cbase] * aint
-                phg = phg + colg * P[cbase + 1] * aint
-                phb = phb + colb * P[cbase + 2] * aint
+                angles.append(jnp.where(occ_f > 0, 0.0, angle))
+                sdirs.append((sdx, sdy, sdz))
 
-                # Phong specular (kernel.cu:198-205): reflect -sdir about n
-                ldn = -(sdx * nx + sdy * ny + sdz * nz)
-                spx, spy, spz = _norm3(-sdx - 2.0 * ldn * nx,
-                                       -sdy - 2.0 * ldn * ny,
-                                       -sdz - 2.0 * ldn * nz)
-                sbase = jnp.maximum(0.0, -(spx * dx + spy * dy + spz * dz))
-                spec = jnp.where(
-                    shine > 0,
-                    jnp.exp2(spec_e * jnp.log2(jnp.maximum(sbase, 1e-30)))
-                    * shine * angle,
-                    0.0)
-                phr = phr + spec
-                phg = phg + spec
-                phb = phb + spec
+            def shade_fn(args):
+                """Emissive add + Phong diffuse/specular + mirror step
+                (kernel.cu:169-218) — the transcendental-heavy tail, run only
+                when some lane in the tile actually hit something."""
+                (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
+                 hx, hy, hz, nx, ny, nz, colr, colg, colb,
+                 shine, spec_e, kr, em_f, shaded_f, hit_f, live,
+                 a0, a1, s0x, s0y, s0z, s1x, s1y, s1z) = args
 
-            w = jnp.where(shaded, thr * (1.0 - kr), 0.0)
-            ra = ra + w * phr
-            ga = ga + w * phg
-            ba = ba + w * phb
+                lit = live * hit_f * em_f > 0
+                ra = ra + jnp.where(lit, thr * colr, 0.0)
+                ga = ga + jnp.where(lit, thr * colg, 0.0)
+                ba = ba + jnp.where(lit, thr * colb, 0.0)
 
-            # --- mirror bounce (kernel.cu:209-218) ---
-            ddn = dx * nx + dy * ny + dz * nz
-            rx, ry, rz = _norm3(dx - 2.0 * ddn * nx,
-                                dy - 2.0 * ddn * ny,
-                                dz - 2.0 * ddn * nz)
-            bounce_f = shaded_f * jnp.where(kr > 0, 1.0, 0.0)
-            bounce_on = bounce_f > 0
-            ox = jnp.where(bounce_on, hx + rx * 0.001, ox)
-            oy = jnp.where(bounce_on, hy + ry * 0.001, oy)
-            oz = jnp.where(bounce_on, hz + rz * 0.001, oz)
-            dx = jnp.where(bounce_on, rx, dx)
-            dy = jnp.where(bounce_on, ry, dy)
-            dz = jnp.where(bounce_on, rz, dz)
-            thr = jnp.where(bounce_on, thr * kr, thr)
-            return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, bounce_f,
+                shaded = shaded_f > 0
+                phr = colr * ambx
+                phg = colg * amby
+                phb = colb * ambz
+                for li, (angle, (sdx, sdy, sdz)) in enumerate(
+                        zip((a0, a1), ((s0x, s0y, s0z), (s1x, s1y, s1z)))):
+                    cbase = P_LCOL0 if li == 0 else P_LCOL1
+                    aint = angle * P[P_LINT + li]
+                    phr = phr + colr * P[cbase] * aint
+                    phg = phg + colg * P[cbase + 1] * aint
+                    phb = phb + colb * P[cbase + 2] * aint
+
+                    # Phong specular (kernel.cu:198-205): reflect -sdir
+                    ldn = -(sdx * nx + sdy * ny + sdz * nz)
+                    spx, spy, spz = _norm3(-sdx - 2.0 * ldn * nx,
+                                           -sdy - 2.0 * ldn * ny,
+                                           -sdz - 2.0 * ldn * nz)
+                    sbase = jnp.maximum(0.0, -(spx * dx + spy * dy + spz * dz))
+                    spec = jnp.where(
+                        shine > 0,
+                        jnp.exp2(spec_e * jnp.log2(jnp.maximum(sbase, 1e-30)))
+                        * shine * angle,
+                        0.0)
+                    phr = phr + spec
+                    phg = phg + spec
+                    phb = phb + spec
+
+                w = jnp.where(shaded, thr * (1.0 - kr), 0.0)
+                ra = ra + w * phr
+                ga = ga + w * phg
+                ba = ba + w * phb
+
+                # --- mirror bounce (kernel.cu:209-218) ---
+                ddn = dx * nx + dy * ny + dz * nz
+                rx, ry, rz = _norm3(dx - 2.0 * ddn * nx,
+                                    dy - 2.0 * ddn * ny,
+                                    dz - 2.0 * ddn * nz)
+                bounce_f = shaded_f * jnp.where(kr > 0, 1.0, 0.0)
+                bounce_on = bounce_f > 0
+                ox = jnp.where(bounce_on, hx + rx * 0.001, ox)
+                oy = jnp.where(bounce_on, hy + ry * 0.001, oy)
+                oz = jnp.where(bounce_on, hz + rz * 0.001, oz)
+                dx = jnp.where(bounce_on, rx, dx)
+                dy = jnp.where(bounce_on, ry, dy)
+                dz = jnp.where(bounce_on, rz, dz)
+                thr = jnp.where(bounce_on, thr * kr, thr)
+                return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, bounce_f)
+
+            def shade_skip(args):
+                (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba) = args[:10]
+                return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
+                        jnp.zeros((TH, TW), f32))
+
+            (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live) = jax.lax.cond(
+                jnp.max(live * hit_f) > 0, shade_fn, shade_skip,
+                (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
+                 hx, hy, hz, nx, ny, nz, colr, colg, colb,
+                 shine, spec_e, kr, em_f, shaded_f, hit_f, live,
+                 angles[0], angles[1], *sdirs[0], *sdirs[1]))
+            return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
                     mw, mdx, mdy, mdz)
+
 
         carry = jax.lax.fori_loop(0, MAX_DEPTH + 1, step, carry)
 

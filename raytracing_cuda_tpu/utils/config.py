@@ -16,6 +16,8 @@ class RenderConfig:
     width: int = 1280           # default framebuffer (main.cpp:42-43)
     height: int = 720
     chunk: int = 32768          # pixels per render batch (memory/pipelining knob)
+    path: str = "auto"          # raytracer: 'pallas' | 'fast' | 'oracle' | 'auto'
+    # 'auto' → the Pallas megakernel on TPU, the fused-XLA fast path elsewhere
     antialiasing: bool = True   # FXAA default on (scene.cpp:24)
     sky_source: str = "auto"    # 'reference' | 'procedural' | 'auto'
     sky_downsample: int = 1     # point-sample every k-th sky texel
@@ -29,3 +31,33 @@ class RenderConfig:
     @property
     def resolved_aspect(self) -> float:
         return self.aspect if self.aspect is not None else self.width / self.height
+
+    def resolved_path(self, backend: str | None = None) -> str:
+        if self.path != "auto":
+            return self.path
+        if backend is None:
+            import jax
+
+            backend = jax.default_backend()
+        return "pallas" if backend in ("tpu", "axon") else "fast"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled executables across processes.
+
+    The Pallas megakernel takes minutes to compile through the remote TPU
+    toolchain; the cache turns every later run (benchmarks, the driver's
+    bench.py, tests) into a warm start.
+    """
+    import os
+
+    import jax
+
+    cache = path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or already configured

@@ -1,0 +1,132 @@
+"""ctypes bindings for the native frame-output runtime (native/frameio).
+
+The reference presents frames through native code (CUDA-GL interop + GLUT
+swap, main.cpp:103-226); headless TPU hosts present frames by writing them,
+and this module keeps that OFF the render loop: libframeio.so encodes PNGs
+at memcpy speed (stored-deflate) on a background thread behind a bounded
+ring. Falls back to PIL when the library hasn't been built
+(`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "_native", "libframeio.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.fio_write_png.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.fio_write_png.restype = ctypes.c_int
+    lib.fio_writer_create.argtypes = [ctypes.c_int]
+    lib.fio_writer_create.restype = ctypes.c_void_p
+    lib.fio_writer_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.fio_writer_written.argtypes = [ctypes.c_void_p]
+    lib.fio_writer_written.restype = ctypes.c_long
+    lib.fio_writer_drain.argtypes = [ctypes.c_void_p]
+    lib.fio_writer_destroy.argtypes = [ctypes.c_void_p]
+    lib.fio_now_ns.restype = ctypes.c_longlong
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile libframeio.so in-tree (g++, no dependencies)."""
+    import subprocess
+
+    native = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native")
+    r = subprocess.run(["make", "-C", native],
+                       capture_output=quiet, text=True)
+    global _lib
+    _lib = None
+    return r.returncode == 0 and available()
+
+
+def _as_rgb_bytes(img: np.ndarray):
+    img = np.ascontiguousarray(img)
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    return img, img.ctypes.data_as(ctypes.c_char_p)
+
+
+def write_png(img: np.ndarray, path: str) -> None:
+    """Synchronous PNG write via the native encoder (PIL fallback)."""
+    lib = _load()
+    if lib is None:
+        from raytracing_cuda_tpu.utils.images import save_png
+
+        save_png(img, path)
+        return
+    img, ptr = _as_rgb_bytes(img)
+    rc = lib.fio_write_png(path.encode(), ptr, img.shape[1], img.shape[0])
+    if rc != 0:
+        raise OSError(f"fio_write_png({path}) failed: {rc}")
+
+
+class AsyncFrameWriter:
+    """Bounded-ring background PNG writer (native thread).
+
+    submit() copies the frame into a ring slot and returns immediately; the
+    worker encodes + writes. drain() blocks until the queue is empty.
+    """
+
+    def __init__(self, ring: int = 4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "libframeio.so not built — run `make -C native` or "
+                "frameio.build()")
+        self._lib = lib
+        self._h = lib.fio_writer_create(ring)
+
+    def submit(self, img: np.ndarray, path: str) -> None:
+        img, ptr = _as_rgb_bytes(img)
+        self._lib.fio_writer_submit(self._h, path.encode(), ptr,
+                                    img.shape[1], img.shape[0])
+
+    @property
+    def written(self) -> int:
+        return int(self._lib.fio_writer_written(self._h))
+
+    def drain(self) -> None:
+        self._lib.fio_writer_drain(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fio_writer_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.drain()
+        self.close()
+
+
+def now_ns() -> int:
+    """Monotonic clock (native when available)."""
+    lib = _load()
+    if lib is None:
+        import time
+
+        return time.monotonic_ns()
+    return int(lib.fio_now_ns())

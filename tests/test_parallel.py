@@ -1,0 +1,59 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4).
+
+The row-sharded renderer must be bit-identical to the single-chip one: ray
+generation is positioned by global row and FXAA's halo rows arrive over the
+mesh (lax.ppermute) instead of local padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracing_cuda_tpu.parallel.mesh import make_mesh, render_frame_sharded
+from raytracing_cuda_tpu.render.pipeline import render_frame
+from raytracing_cuda_tpu.scene.builders import build_scene
+from raytracing_cuda_tpu.scene.textures import procedural_skies
+from raytracing_cuda_tpu.sim import state as sim
+
+H, W = 64, 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = build_scene()
+    sky = jnp.asarray(procedural_skies(32, 64))
+    st = sim.settle(sim.init_state())
+    return scene, sky, st
+
+
+def test_eight_device_mesh_available():
+    assert jax.device_count() >= 8, "conftest must force 8 virtual CPU devices"
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_sharded_matches_single_chip(setup, n):
+    scene, sky, st = setup
+    mesh = make_mesh(n)
+    single = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096, path="fast"))
+    sharded = np.asarray(render_frame_sharded(
+        scene, st, sky, mesh=mesh, height=H, width=W, chunk=2048))
+    assert np.array_equal(single, sharded), (
+        f"{(single != sharded).any(-1).mean():.4%} pixels differ on {n} devices")
+
+
+def test_sharded_fxaa_off(setup):
+    scene, sky, st = setup
+    st = st._replace(aa=jnp.bool_(False))
+    mesh = make_mesh(4)
+    single = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096, path="fast"))
+    sharded = np.asarray(render_frame_sharded(
+        scene, st, sky, mesh=mesh, height=H, width=W, chunk=2048))
+    assert np.array_equal(single, sharded)
+
+
+def test_indivisible_height_raises(setup):
+    scene, sky, st = setup
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        render_frame_sharded(scene, st, sky, mesh=mesh, height=60, width=W)
