@@ -46,11 +46,30 @@ class Engine:
         c = self.config
         path = self.path
 
-        def _step_render(scene, state, sky_texels, action, dt):
-            state = sim.animate(state, action, dt)
-            img = render_frame(scene, state, sky_texels, c.height, c.width,
-                               chunk=c.chunk, aspect=c.aspect, path=path)
-            return state, img
+        if path == "pallas":
+            from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+
+            def _step_render(scene, state, sky_texels, cvars, cpacked, action, dt):
+                state = sim.animate(state, action, dt)
+                img, cvars, cpacked = render_frame_cached_sky(
+                    scene, state, sky_texels, cvars, cpacked,
+                    c.height, c.width, aspect=c.aspect)
+                return state, img, cvars, cpacked
+
+            # NaN sentinel forces the first frame to blend; afterwards the
+            # 4-panorama blend+pack only reruns during day/night crossfades
+            self._cached_vars = jnp.full((4,), jnp.nan, jnp.float32)
+            self._cached_packed = jnp.zeros(
+                (self.sky_texels.shape[1] * self.sky_texels.shape[2],), jnp.int32)
+        else:
+            def _step_render(scene, state, sky_texels, cvars, cpacked, action, dt):
+                state = sim.animate(state, action, dt)
+                img = render_frame(scene, state, sky_texels, c.height, c.width,
+                                   chunk=c.chunk, aspect=c.aspect, path=path)
+                return state, img, cvars, cpacked
+
+            self._cached_vars = jnp.zeros((0,), jnp.float32)
+            self._cached_packed = jnp.zeros((0,), jnp.int32)
 
         # one device dispatch per frame: state step + render fused
         self._step_render = jax.jit(_step_render)
@@ -65,9 +84,10 @@ class Engine:
 
     def step_and_frame(self, action: Action | None = None, dt: float = 1 / 60):
         """Fused step+render: a single jitted dispatch per frame."""
-        self.state, img = self._step_render(
-            self.scene, self.state, self.sky_texels,
-            action or Action.idle(), jnp.float32(dt))
+        self.state, img, self._cached_vars, self._cached_packed = (
+            self._step_render(self.scene, self.state, self.sky_texels,
+                              self._cached_vars, self._cached_packed,
+                              action or Action.idle(), jnp.float32(dt)))
         return img
 
     def set_state(self, state: sim.FrameState):

@@ -46,17 +46,12 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
     blended = blend_sky(sky_texels, state.sky_vars)
     day_frac = state.day_time / 24.0
     if path in ("pallas", "pallas_interpret"):
-        from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
-        from raytracing_cuda_tpu.render.reference import quantize
-        from raytracing_cuda_tpu.scene.textures import pack_sky, sample_sky_packed
+        from raytracing_cuda_tpu.scene.textures import pack_sky
 
-        r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
-            scene_f, lights, ambient, rays, height, width,
-            interpret=(path == "pallas_interpret"))
-        mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
         sh, sw = blended.shape[0], blended.shape[1]
-        sky = sample_sky_packed(pack_sky(blended), sh, sw, mdir, day_frac)
-        base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
+        base = _pallas_base(scene_f, lights, ambient, rays, pack_sky(blended),
+                            sh, sw, day_frac, height, width,
+                            interpret=(path == "pallas_interpret"))
     else:
         render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
         base = render(scene_f, lights, ambient, blended, day_frac,
@@ -68,6 +63,65 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
 
         return fxaa(base)
     return base
+
+
+def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
+                 day_frac, height, width, interpret=False):
+    """Megakernel + deferred sky resolve from a pre-packed sky plane.
+
+    Split out so callers that cache the packed sky across frames (the sky
+    blend weights are constant outside the 2 h crossfade windows,
+    scene.cpp:778-804) can skip the 4-panorama blend entirely."""
+    from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+    from raytracing_cuda_tpu.render.reference import quantize
+    from raytracing_cuda_tpu.scene.textures import sample_sky_packed
+
+    r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
+        scene_f, lights, ambient, rays, height, width, interpret=interpret)
+    mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
+    sky = sample_sky_packed(packed_sky, sky_h, sky_w, mdir, day_frac)
+    return quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
+
+
+def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
+                            cached_vars, cached_packed,
+                            height: int, width: int,
+                            aspect: float | None = None,
+                            fxaa_static: bool | None = None):
+    """Pallas-path render that reuses a cached pre-blended sky.
+
+    Returns (image, new_cached_vars, new_cached_packed). The 4-panorama
+    blend+pack (a full sweep over every sky texel) only reruns when the
+    frame's sky_vars differ from the cached ones — i.e. during the 2 h
+    day/night crossfades; in the pure bands it is skipped entirely.
+    """
+    from raytracing_cuda_tpu.scene.textures import blend_sky, pack_sky
+
+    if aspect is None:
+        aspect = width / height
+    scene_f, lights, ambient = derive_frame(scene, state)
+    rays = camera_rays(state.cam, aspect)
+    day_frac = state.day_time / 24.0
+
+    changed = jnp.any(state.sky_vars != cached_vars)
+    packed = jax.lax.cond(
+        changed,
+        lambda _: pack_sky(blend_sky(sky_texels, state.sky_vars)),
+        lambda _: cached_packed,
+        None)
+
+    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
+    base = _pallas_base(scene_f, lights, ambient, rays, packed, sh, sw,
+                        day_frac, height, width)
+    if fxaa_static is None:
+        img = apply_fxaa(base, state.aa)
+    elif fxaa_static:
+        from raytracing_cuda_tpu.render.fxaa import fxaa
+
+        img = fxaa(base)
+    else:
+        img = base
+    return img, state.sky_vars, packed
 
 
 def render_frame_np(scene, state, sky: SkyTextures, height, width, **kw):
