@@ -49,8 +49,9 @@ class Engine:
         if path == "pallas":
             from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
 
-            def _step_render(scene, state, sky_texels, cvars, cpacked, action, dt):
-                state = sim.animate(state, action, dt)
+            def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
+                state = sim.animate(state, Action.unpack(action_vec),
+                                    Action.unpack_dt(action_vec))
                 img, cvars, cpacked = render_frame_cached_sky(
                     scene, state, sky_texels, cvars, cpacked,
                     c.height, c.width, aspect=c.aspect)
@@ -62,8 +63,9 @@ class Engine:
             self._cached_packed = jnp.zeros(
                 (self.sky_texels.shape[1] * self.sky_texels.shape[2],), jnp.int32)
         else:
-            def _step_render(scene, state, sky_texels, cvars, cpacked, action, dt):
-                state = sim.animate(state, action, dt)
+            def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
+                state = sim.animate(state, Action.unpack(action_vec),
+                                    Action.unpack_dt(action_vec))
                 img = render_frame(scene, state, sky_texels, c.height, c.width,
                                    chunk=c.chunk, aspect=c.aspect, path=path)
                 return state, img, cvars, cpacked
@@ -87,7 +89,7 @@ class Engine:
         self.state, img, self._cached_vars, self._cached_packed = (
             self._step_render(self.scene, self.state, self.sky_texels,
                               self._cached_vars, self._cached_packed,
-                              action or Action.idle(), jnp.float32(dt)))
+                              (action or Action.idle()).pack(dt)))
         return img
 
     def set_state(self, state: sim.FrameState):

@@ -44,3 +44,49 @@ class Action(NamedTuple):
             time_preset=np.int32(-1), cam_preset=np.int32(-1),
             set_aa_on=f, set_aa_off=f,
         )
+
+    # --- packed wire format -------------------------------------------------
+    # Interactive loops ship one Action per frame to the device; sending 14
+    # separate scalars costs 14 tiny host->device transfers per frame (real
+    # milliseconds over a remote-TPU tunnel). pack()/unpack() move the whole
+    # action as ONE (16,) f32 array instead.
+
+    _PACK_FIELDS = ("move_side", "move_forward", "move_up", "run",
+                    "mouse_dx", "mouse_dy", "time_control", "set_play",
+                    "set_pause", "sea_control", "time_preset", "cam_preset",
+                    "set_aa_on", "set_aa_off")
+
+    def pack(self, dt: float = 0.0) -> np.ndarray:
+        """One (16,) float32 vector (host-side; exact for all field ranges).
+
+        Slot 14 carries the frame's dt so a step ships exactly one array."""
+        v = np.zeros(16, np.float32)
+        for i, name in enumerate(self._PACK_FIELDS):
+            v[i] = np.float32(getattr(self, name))
+        v[14] = np.float32(dt)
+        return v
+
+    @staticmethod
+    def unpack_dt(v):
+        return v[14]
+
+    @staticmethod
+    def unpack(v) -> "Action":
+        """Rebuild an Action from a packed vector (device-side, inside jit)."""
+        import jax.numpy as jnp
+
+        f = Action._PACK_FIELDS
+        g = {name: v[i] for i, name in enumerate(f)}
+        return Action(
+            move_side=g["move_side"].astype(jnp.int32),
+            move_forward=g["move_forward"].astype(jnp.int32),
+            move_up=g["move_up"].astype(jnp.int32),
+            run=g["run"] > 0,
+            mouse_dx=g["mouse_dx"], mouse_dy=g["mouse_dy"],
+            time_control=g["time_control"].astype(jnp.int32),
+            set_play=g["set_play"] > 0, set_pause=g["set_pause"] > 0,
+            sea_control=g["sea_control"].astype(jnp.int32),
+            time_preset=g["time_preset"].astype(jnp.int32),
+            cam_preset=g["cam_preset"].astype(jnp.int32),
+            set_aa_on=g["set_aa_on"] > 0, set_aa_off=g["set_aa_off"] > 0,
+        )
