@@ -21,7 +21,7 @@ def make(th, tw):
     return f
 
 fns = {}
-for th, tw in [(8, 256), (16, 256), (8, 128), (16, 128)]:
+for th, tw in [(16, 256), (32, 256), (16, 512), (24, 256), (48, 256), (32, 512)]:
     try:
         f = make(th, tw)
         t0 = time.perf_counter()
