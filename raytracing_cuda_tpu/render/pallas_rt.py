@@ -521,7 +521,7 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
 @functools.partial(jax.jit, static_argnames=(
     "H", "W", "TH", "TW", "t_pad", "s_pad", "interpret"))
 def raytrace_planes(coef, params, H: int, W: int, t_pad: int, s_pad: int,
-                    TH: int = 8, TW: int = 256, interpret: bool = False):
+                    TH: int = 16, TW: int = 256, interpret: bool = False):
     """Run the megakernel → (r, g, b, miss_w, mdx, mdy, mdz), each (H, W) f32."""
     grid = (pl.cdiv(H, TH), pl.cdiv(W, TW))
     out = jax.ShapeDtypeStruct((H, W), f32)
@@ -545,7 +545,7 @@ def raytrace_planes(coef, params, H: int, W: int, t_pad: int, s_pad: int,
 
 
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
-                              height: int, width: int, tile_h: int = 8,
+                              height: int, width: int, tile_h: int = 16,
                               tile_w: int = 256, interpret: bool = False):
     """Scene → packed tensors → megakernel → 7 framebuffer planes."""
     coef = pack_scene(scene, lights, ambient)
