@@ -24,7 +24,7 @@ def _config(args) -> "RenderConfig":
 
     w, h = (int(v) for v in args.size.lower().split("x"))
     return RenderConfig(width=w, height=h, sky_source=args.sky, path=args.path,
-                        procedural_sky_shape=(1024, 2048))
+                        scene=args.scene, procedural_sky_shape=(1024, 2048))
 
 
 def main(argv=None):
@@ -37,6 +37,9 @@ def main(argv=None):
                     choices=["auto", "reference", "procedural"])
     ap.add_argument("--path", default="auto",
                     choices=["auto", "pallas", "fast", "oracle"])
+    ap.add_argument("--scene", default="island", choices=["island", "classic"])
+    ap.add_argument("--state", default=None,
+                    help="load a FrameState checkpoint (utils.checkpoint JSON)")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--day", type=float, default=None, help="clock hour 0-24")
     ap.add_argument("--cam", type=int, default=None, help="camera preset 0/1")
@@ -65,6 +68,10 @@ def main(argv=None):
 
     eng = Engine(_config(args))
     st = eng.state
+    if args.state:
+        from raytracing_cuda_tpu.utils.checkpoint import load_state
+
+        st = load_state(args.state)
     if args.day is not None:
         import jax.numpy as jnp
 

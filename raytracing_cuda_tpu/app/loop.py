@@ -18,7 +18,7 @@ import numpy as np
 
 from raytracing_cuda_tpu.parallel.mesh import make_mesh, render_frame_sharded
 from raytracing_cuda_tpu.render.pipeline import render_frame
-from raytracing_cuda_tpu.scene.builders import build_scene
+from raytracing_cuda_tpu.scene.builders import CLASSIC_CAMERA, build_named_scene
 from raytracing_cuda_tpu.scene.textures import load_skies
 from raytracing_cuda_tpu.sim import state as sim
 from raytracing_cuda_tpu.sim.actions import Action
@@ -34,12 +34,21 @@ class Engine:
 
         enable_compilation_cache()
         self.config = config or RenderConfig()
-        self.scene = jax.device_put(build_scene())
+        self.scene = jax.device_put(build_named_scene(self.config.scene))
         self.sky = load_skies(self.config.sky_source,
                               downsample=self.config.sky_downsample,
                               procedural_shape=self.config.procedural_sky_shape)
         self.sky_texels = jax.device_put(self.sky.texels)
         self.state = sim.settle(sim.init_state())
+        if self.config.scene == "classic":
+            from raytracing_cuda_tpu.core.types import Camera
+
+            cc = CLASSIC_CAMERA
+            self.state = self.state._replace(cam=Camera(
+                pos=jnp.asarray(cc["pos"], jnp.float32),
+                hor_angle=jnp.float32(cc["hor_angle"]),
+                ver_angle=jnp.float32(cc["ver_angle"]),
+                fov=jnp.float32(cc["fov"])))
         self.mesh = make_mesh() if sharded else None
         self.path = self.config.resolved_path()
         self._animate = jax.jit(sim.animate)

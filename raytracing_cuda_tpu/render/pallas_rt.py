@@ -539,7 +539,10 @@ def raytrace_planes(coef, params, H: int, W: int, t_pad: int, s_pad: int,
             for _ in range(7)),
         out_shape=(out,) * 7,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # grid steps are independent pixel tiles: lets Mosaic overlap
+            # output DMA with the next tile's compute
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(params, coef)
 

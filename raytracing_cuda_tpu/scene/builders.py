@@ -274,8 +274,12 @@ def build_objects() -> _SceneAccum:
 
 
 def build_scene() -> Scene:
-    """Assemble the Scene pytree (numpy; converted to device arrays by jit)."""
-    s = build_objects()
+    """Assemble the island Scene pytree (numpy; device arrays come from jit)."""
+    return _finalize_scene(build_objects())
+
+
+def _finalize_scene(s: _SceneAccum) -> Scene:
+    """Accumulated object list → struct-of-arrays Scene pytree."""
     n = s.i
     obj_type = np.array(s.obj_type, np.int32)
     p0 = np.stack(s.p0)
@@ -323,3 +327,51 @@ def build_scene() -> Scene:
         tree_mask=tree_mask,
         mount_mask=mount_mask,
     )
+
+
+def build_classic_scene() -> Scene:
+    """A small 'classic spheres' demo scene.
+
+    The analogue of the reference's dormant oldStaticScene demo
+    (scene.cpp:490-624, never called): mixed-material showcase spheres and a
+    pyramid over a mirror ground plane, ending with the same two sun/moon
+    proxy spheres the island scene relies on (derive_frame rewrites the last
+    two sphere positions each frame). Exercises every render path with a
+    different object census than the island — all paths pad to arbitrary
+    counts.
+    """
+    s = _SceneAccum()
+    # ground plane (global slot 0): dark mirror floor
+    s.plane(np.array([0.18, 0.2, 0.24], f32), 0.35, 60.0, 0.6,
+            np.array([0, -2.0, 0], f32), np.array([0, 1, 0], f32))
+
+    # five showcase spheres: matte → glossy → mirror
+    data = [
+        ((-14, 2.0, -4), 4.0, (0.85, 0.25, 0.2), 0.0, 20.0, 0.4),
+        ((-4, 3.0, -10), 5.0, (0.2, 0.5, 0.9), 0.25, 80.0, 1.0),
+        ((6, 2.5, -2), 4.5, (0.9, 0.8, 0.25), 0.1, 40.0, 0.8),
+        ((14, 1.5, -9), 3.5, (0.3, 0.85, 0.45), 0.55, 120.0, 1.2),
+        ((1, 1.2, 5), 3.2, (0.92, 0.92, 0.95), 0.8, 160.0, 1.4),
+    ]
+    for pos, r, col, kr, spec, shine in data:
+        s.sphere(np.array(col, f32), kr, spec, shine, np.array(pos, f32), r)
+
+    # one pyramid so the triangle path is exercised too
+    create_pyramid(s, np.array([0.75, 0.45, 0.85], f32), 0.0, 30.0, 0.5,
+                   np.array([-6, -2.0, 8], f32), 5.0, 7.0, 0.6)
+
+    create_light_objects(s, init_lights().pos)
+    return _finalize_scene(s)
+
+
+CLASSIC_CAMERA = dict(pos=(55.0, 14.0, -3.0), hor_angle=180.0,
+                      ver_angle=-12.0, fov=40.0)
+
+SCENES = {"island": build_scene, "classic": build_classic_scene}
+
+
+def build_named_scene(name: str) -> Scene:
+    try:
+        return SCENES[name]()
+    except KeyError:
+        raise ValueError(f"unknown scene {name!r}; choose from {sorted(SCENES)}")

@@ -18,6 +18,7 @@ class RenderConfig:
     chunk: int = 32768          # pixels per render batch (memory/pipelining knob)
     path: str = "auto"          # raytracer: 'pallas' | 'fast' | 'oracle' | 'auto'
     # 'auto' → the Pallas megakernel on TPU, the fused-XLA fast path elsewhere
+    scene: str = "island"       # scene family: 'island' | 'classic'
     antialiasing: bool = True   # FXAA default on (scene.cpp:24)
     sky_source: str = "auto"    # 'reference' | 'procedural' | 'auto'
     sky_downsample: int = 1     # point-sample every k-th sky texel

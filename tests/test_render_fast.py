@@ -85,3 +85,25 @@ def test_pallas_matches_oracle(scene, sky, case):
     mismatched = np.mean(np.any(diff > 1.0, axis=-1))
     assert rmse < 2e-3, f"rmse {rmse}"
     assert mismatched < 0.003, f"{mismatched:.4%} pixels differ by >1 level"
+
+
+def test_classic_scene_paths_agree(sky):
+    """The classic demo scene renders identically across all paths."""
+    from raytracing_cuda_tpu.core.types import Camera
+    from raytracing_cuda_tpu.scene.builders import CLASSIC_CAMERA, build_classic_scene
+
+    scene = build_classic_scene()
+    cc = CLASSIC_CAMERA
+    st = sim.settle(sim.init_state()._replace(
+        day_time=jnp.float32(14.0),
+        cam=Camera(pos=jnp.asarray(cc["pos"], jnp.float32),
+                   hor_angle=jnp.float32(cc["hor_angle"]),
+                   ver_angle=jnp.float32(cc["ver_angle"]),
+                   fov=jnp.float32(cc["fov"]))))
+    ref = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                  path="oracle"), np.float32)
+    for path in ("fast", "pallas_interpret"):
+        img = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                      path=path), np.float32)
+        diff = np.abs(img - ref)
+        assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3, path
