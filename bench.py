@@ -126,7 +126,7 @@ def main():
             move_forward=np.int32(1 if (i // 60) % 2 == 0 else 0),
         )
 
-    stats = eng.run(frames, action_fn=camera_path, dt=1 / 60)
+    stats = eng.run(frames, action_fn=camera_path, dt=1 / 60, batch=8)
     details["sustained"] = stats.as_dict()
     log(json.dumps(details, indent=2))
 

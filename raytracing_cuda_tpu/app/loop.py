@@ -85,6 +85,25 @@ class Engine:
         # one device dispatch per frame: state step + render fused
         self._step_render = jax.jit(_step_render)
 
+        def _step_render_batch(scene, state, sky_texels, cvars, cpacked,
+                               action_vecs):
+            """lax.scan over a whole batch of frames in ONE dispatch.
+
+            Per-dispatch costs (host serialization, tunnel round trips on
+            remote backends) amortize across the batch — the TPU analogue of
+            a deep swapchain. Returns every frame, stacked."""
+            def body(carry, av):
+                state, cvars, cpacked = carry
+                state, img, cvars, cpacked = _step_render(
+                    scene, state, sky_texels, cvars, cpacked, av)
+                return (state, cvars, cpacked), img
+
+            (state, cvars, cpacked), imgs = jax.lax.scan(
+                body, (state, cvars, cpacked), action_vecs)
+            return state, imgs, cvars, cpacked
+
+        self._step_render_batch = jax.jit(_step_render_batch)
+
     # --- state ---
 
     def step(self, action: Action | None = None, dt: float = 1 / 60):
@@ -100,6 +119,21 @@ class Engine:
                               self._cached_vars, self._cached_packed,
                               (action or Action.idle()).pack(dt)))
         return img
+
+    def step_and_frame_batch(self, actions, dts=None):
+        """Render a batch of frames in one dispatch → (B, H, W, 3) uint8.
+
+        actions: list[Action] (or a pre-packed (B, 16) f32 array)."""
+        if isinstance(actions, (list, tuple)):
+            dts = dts or [1 / 60] * len(actions)
+            vecs = np.stack([a.pack(dt) for a, dt in zip(actions, dts)])
+        else:
+            vecs = actions
+        self.state, imgs, self._cached_vars, self._cached_packed = (
+            self._step_render_batch(self.scene, self.state, self.sky_texels,
+                                    self._cached_vars, self._cached_packed,
+                                    vecs))
+        return imgs
 
     def set_state(self, state: sim.FrameState):
         self.state = state
@@ -127,22 +161,42 @@ class Engine:
 
     def run(self, n_frames: int, action_fn: Callable[[int], Action] | None = None,
             dt: float = 1 / 60, warmup: int = 2,
-            on_frame: Callable[[int, object], None] | None = None) -> FrameStats:
+            on_frame: Callable[[int, object], None] | None = None,
+            batch: int = 1) -> FrameStats:
         """Headless loop: step + render n_frames, return FPS/Mrays stats.
 
         action_fn(i) supplies scripted input per frame (default: idle —
         automatic time advance only, like the reference left running).
+        batch > 1 scans that many frames per device dispatch (use when no
+        per-frame host consumption is needed, e.g. sustained benchmarks).
         """
         from raytracing_cuda_tpu.utils.timing import device_sync
 
         c = self.config
         state0 = self.state
         for _ in range(warmup):
-            device_sync(self.step_and_frame(None, dt))
+            if batch > 1:
+                device_sync(self.step_and_frame_batch(
+                    np.stack([Action.idle().pack(dt)] * batch)))
+            else:
+                device_sync(self.step_and_frame(None, dt))
         self.state = state0
 
         timer = FrameTimer(c.width, c.height).start()
         img = None
+        if batch > 1:
+            assert on_frame is None, "batch mode yields frames per batch"
+            done = 0
+            while done < n_frames:
+                b = min(batch, n_frames - done)
+                vecs = np.stack([
+                    (action_fn(done + j) if action_fn else Action.idle()).pack(dt)
+                    for j in range(b)])
+                img = self.step_and_frame_batch(vecs)
+                timer.frames += b
+                done += b
+            device_sync(img)
+            return timer.stop()
         for i in range(n_frames):
             img = self.step_and_frame(action_fn(i) if action_fn else None, dt)
             if on_frame is not None:
