@@ -18,7 +18,8 @@ import numpy as np
 
 from raytracing_cuda_tpu.parallel.mesh import make_mesh, render_frame_sharded
 from raytracing_cuda_tpu.render.pipeline import render_frame
-from raytracing_cuda_tpu.scene.builders import CLASSIC_CAMERA, build_named_scene
+from raytracing_cuda_tpu.scene.builders import (CLASSIC_CAMERA, TRI_CLUSTERS,
+                                                 build_named_scene)
 from raytracing_cuda_tpu.scene.textures import load_skies
 from raytracing_cuda_tpu.sim import state as sim
 from raytracing_cuda_tpu.sim.actions import Action
@@ -51,6 +52,7 @@ class Engine:
                 fov=jnp.float32(cc["fov"])))
         self.mesh = make_mesh() if sharded else None
         self.path = self.config.resolved_path()
+        self.tri_clusters = TRI_CLUSTERS.get(self.config.scene)
         self._animate = jax.jit(sim.animate)
         c = self.config
         path = self.path
@@ -63,7 +65,8 @@ class Engine:
                                     Action.unpack_dt(action_vec))
                 img, cvars, cpacked = render_frame_cached_sky(
                     scene, state, sky_texels, cvars, cpacked,
-                    c.height, c.width, aspect=c.aspect)
+                    c.height, c.width, aspect=c.aspect,
+                    tri_clusters=self.tri_clusters)
                 return state, img, cvars, cpacked
 
             # NaN sentinel forces the first frame to blend; afterwards the
@@ -152,7 +155,9 @@ class Engine:
                 height=c.height, width=c.width, chunk=c.chunk, aspect=c.aspect)
         return render_frame(self.scene, self.state, self.sky_texels,
                             c.height, c.width, chunk=c.chunk, aspect=c.aspect,
-                            path=self.path)
+                            path=self.path,
+                            tri_clusters=self.tri_clusters
+                            if self.path == "pallas" else None)
 
     def frame_np(self) -> np.ndarray:
         return np.asarray(self.frame())

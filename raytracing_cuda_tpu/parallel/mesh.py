@@ -20,7 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from raytracing_cuda_tpu.core.types import Scene
 from raytracing_cuda_tpu.render.fxaa import fxaa_ext
-from raytracing_cuda_tpu.render.reference import render_base_image
+from raytracing_cuda_tpu.render.fast import render_base_image_fast
 from raytracing_cuda_tpu.scene.textures import blend_sky
 from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
 
@@ -65,9 +65,9 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
     def shard_fn(scene_f, lights, ambient, blended, rays, day_frac, aa):
         idx = jax.lax.axis_index(AXIS)
         row0 = idx * band
-        base = render_base_image(scene_f, lights, ambient, blended, day_frac,
-                                 rays, band, width, row0=row0,
-                                 total_height=height, chunk=chunk)
+        base = render_base_image_fast(scene_f, lights, ambient, blended,
+                                      day_frac, rays, band, width, row0=row0,
+                                      total_height=height, chunk=chunk)
 
         # 1-row halo exchange with ring neighbors (edge shards receive zeros;
         # those halo rows only influence global border rows, which pass

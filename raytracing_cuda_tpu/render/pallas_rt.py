@@ -80,23 +80,35 @@ P_LCOL1 = 24
 P_LINT = 27          # 27-28 intensities
 P_AMBIENT = 29       # 29-31
 P_SEAY = 32          # sea plane height
-N_PARAMS = 40
+P_CLUSTERS = 36      # up to 4 x (cx, cy, cz, r) triangle-cluster bounds
+MAX_CLUSTERS = 4
+N_PARAMS = P_CLUSTERS + 4 * MAX_CLUSTERS
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def pack_scene(scene: Scene, lights: Lights, ambient):
+def tri_cluster_pads(T: int, tri_clusters) -> tuple:
+    """Padded row count per triangle cluster (each a multiple of 8)."""
+    if not tri_clusters:
+        tri_clusters = (T,)
+    assert sum(tri_clusters) == T, (tri_clusters, T)
+    return tuple(_round_up(c, 8) for c in tri_clusters)
+
+
+def pack_scene(scene: Scene, lights: Lights, ambient, tri_clusters=None):
     """Build the (N_OBJ_PAD, 1, N_CHANNELS) coefficient tensor.
 
-    Slot 0 is the sea plane, then padded triangles, then padded spheres —
-    tie-break relies only on the C_GIDX channel, so slot order is free.
-    Assembled as one concatenation per segment (not per-channel updates) to
-    keep the per-frame XLA op count low. Runs inside jit each frame.
+    Slot 0 is the sea plane, then the triangle clusters (each padded to a
+    multiple of 8 rows so the kernel can slice them statically), then padded
+    spheres. Tie-break relies only on the C_GIDX channel, so slot order is
+    free. Assembled as one concatenation per segment to keep the per-frame
+    XLA op count low. Runs inside jit each frame.
     """
     T, S = scene.n_triangles, scene.n_spheres
-    t_pad = _round_up(T, 8)
+    pads = tri_cluster_pads(T, tri_clusters)
+    t_pad = sum(pads)
     s_pad = _round_up(S, 8)
     n_pad = _round_up(1 + t_pad + s_pad, 8)
 
@@ -147,13 +159,46 @@ def pack_scene(scene: Scene, lights: Lights, ambient):
     ], axis=1)
 
     pad_row = jnp.zeros((1, N_CHANNELS), f32).at[0, C_GIDX].set(1e9)
-    rows = jnp.concatenate([
-        pl_row,
-        tri_rows, jnp.broadcast_to(pad_row, (t_pad - T, N_CHANNELS)),
-        sph_rows, jnp.broadcast_to(pad_row, (s_pad - S, N_CHANNELS)),
-        jnp.broadcast_to(pad_row, (n_pad - 1 - t_pad - s_pad, N_CHANNELS)),
-    ], axis=0)
+    counts = list(tri_clusters) if tri_clusters else [T]
+    parts = [pl_row]
+    off = 0
+    for cnt, pad in zip(counts, pads):
+        parts.append(tri_rows[off:off + cnt])
+        if pad > cnt:
+            parts.append(jnp.broadcast_to(pad_row, (pad - cnt, N_CHANNELS)))
+        off += cnt
+    parts.append(sph_rows)
+    if s_pad > S:
+        parts.append(jnp.broadcast_to(pad_row, (s_pad - S, N_CHANNELS)))
+    tail = n_pad - 1 - t_pad - s_pad
+    if tail:
+        parts.append(jnp.broadcast_to(pad_row, (tail, N_CHANNELS)))
+    rows = jnp.concatenate(parts, axis=0)
     return rows[:, None, :]          # (N_OBJ_PAD, 1, N_CHANNELS)
+
+
+def tri_cluster_bounds(scene: Scene, tri_clusters=None):
+    """Bounding sphere (cx, cy, cz, r) per triangle cluster → (K, 4) f32.
+
+    Conservative: AABB center of all cluster vertices, radius to the
+    farthest vertex plus a small epsilon for float slack.
+    """
+    counts = list(tri_clusters) if tri_clusters else [scene.n_triangles]
+    v0 = scene.tri_v0
+    v1 = v0 + scene.tri_e1
+    v2 = v0 + scene.tri_e2
+    out = []
+    off = 0
+    for cnt in counts:
+        vs = jnp.concatenate([v0[off:off + cnt], v1[off:off + cnt],
+                              v2[off:off + cnt]], axis=0)
+        lo = jnp.min(vs, axis=0)
+        hi = jnp.max(vs, axis=0)
+        c = (lo + hi) * 0.5
+        r = jnp.sqrt(jnp.max(jnp.sum((vs - c) ** 2, axis=-1))) * 1.001 + 0.01
+        out.append(jnp.concatenate([c, r[None]]))
+        off += cnt
+    return jnp.stack(out)
 
 
 def pack_params(cam_rays, lights: Lights, ambient, sea_y):
@@ -248,33 +293,110 @@ def _plane_t(oy, dy, sea_y):
     return jnp.where(hit, t, BIG)
 
 
-def _occluded(Ct, Cs, sph_blocks, ox, oy, oz, dx, dy, dz, max_dist, sea_y):
-    """Shadow sweep: any shadow-blocking object with t < max_dist
-    (kernel.cu:188-193; light proxy spheres never occlude)."""
-    mx = oy[0] * dz[0] - oz[0] * dy[0]
-    my = oz[0] * dx[0] - ox[0] * dz[0]
-    mz = ox[0] * dy[0] - oy[0] * dx[0]
-    t_tri = _tri_t(Ct, ox, oy, oz, dx, dy, dz, mx[None], my[None], mz[None])
-    any_tri = jnp.min(t_tri, axis=0) < max_dist
+def _ival_prod(alo, ahi, blo, bhi):
+    """Interval product [alo,ahi]x[blo,bhi] → (lo, hi) (scalars)."""
+    p1, p2, p3, p4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
+    lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+    hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+    return lo, hi
+
+
+def _cluster_possible(cx, cy, cz, r, obox, dbox):
+    """Sound per-tile cull: can ANY ray with origin in obox and direction
+    in dbox intersect the bounding sphere (c, r)?
+
+    Interval arithmetic over the geometric sphere test: possible iff the
+    origin box may touch the sphere, or the sphere may lie ahead
+    (tca_hi > 0) with squared miss distance possibly below r². Ignoring the
+    correlation between |L|² and tca only widens the answer (conservative).
+    """
+    (oxlo, oxhi, oylo, oyhi, ozlo, ozhi) = obox
+    (dxlo, dxhi, dylo, dyhi, dzlo, dzhi) = dbox
+    lxlo, lxhi = cx - oxhi, cx - oxlo
+    lylo, lyhi = cy - oyhi, cy - oylo
+    lzlo, lzhi = cz - ozhi, cz - ozlo
+
+    tlo = thi = None
+    ll_lo = jnp.float32(0.0)
+    for llo, lhi, dlo, dhi in ((lxlo, lxhi, dxlo, dxhi),
+                               (lylo, lyhi, dylo, dyhi),
+                               (lzlo, lzhi, dzlo, dzhi)):
+        plo, phi = _ival_prod(llo, lhi, dlo, dhi)
+        tlo = plo if tlo is None else tlo + plo
+        thi = phi if thi is None else thi + phi
+        comp_min = jnp.where((llo < 0) & (lhi > 0), 0.0,
+                             jnp.minimum(llo * llo, lhi * lhi))
+        ll_lo = ll_lo + comp_min
+
+    r2 = r * r
+    tca2_hi = jnp.maximum(tlo * tlo, thi * thi)
+    d2_lo = ll_lo - tca2_hi
+    inside = ll_lo <= r2
+    ahead = (thi > 0) & (d2_lo <= r2)
+    return inside | ahead
+
+
+def _box(x):
+    return jnp.min(x), jnp.max(x)
+
+
+ATTR_CHANNELS = (C_COL, C_COL + 1, C_COL + 2, C_SHINE, C_SPEC, C_KR,
+                 C_FLAGS, C_NORMAL, C_NORMAL + 1, C_NORMAL + 2)
+
+
+def _local_reduce(Cg, t_g):
+    """Reduce one object group's sweep to its local winner.
+
+    Returns (t_min, win_gidx, attrs[10]) — all (TH, TW). Cross-group combine
+    is then a handful of 2D selects; groups that were culled contribute
+    (BIG, 1e9, zeros) and never win. Lowest-gidx tie-break within the group
+    matches the reference's strict-'<' scan (kernel.cu:144-151)."""
+    g = Cg[:, :, C_GIDX:C_GIDX + 1]
+    t_min = jnp.min(t_g, axis=0)
+    win_g = jnp.min(jnp.where(t_g == t_min[None], g, f32(1e9)), axis=0)
+    oh = (jnp.where(g == win_g[None], 1.0, 0.0)
+          * jnp.where(t_g < BIG * 0.5, 1.0, 0.0))
+    attrs = [jnp.sum(oh * Cg[:, :, c:c + 1], axis=0) for c in ATTR_CHANNELS]
+    return (t_min, win_g, *attrs)
+
+
+def _tri_occ_partial(Ctk, ox, oy, oz, dx, dy, dz, mx, my, mz, max_dist):
+    """Shadow partial from one triangle cluster → f32 {0,1} (TH, TW)."""
+    t = _tri_t(Ctk, ox, oy, oz, dx, dy, dz, mx, my, mz)
+    return jnp.where(jnp.min(t, axis=0) < max_dist, 1.0, 0.0)
+
+
+def _sph_plane_occ_partial(Cs, sph_blocks, ox, oy, oz, dx, dy, dz,
+                           max_dist, sea_y):
+    """Shadow partial from spheres (non-light only, kernel.cu:188-193) and
+    the sea plane → f32 {0,1} (TH, TW)."""
     t_sph = jnp.where(sph_blocks > 0, _sph_t(Cs, ox, oy, oz, dx, dy, dz), BIG)
     any_sph = jnp.min(t_sph, axis=0) < max_dist
     any_pl = _plane_t(oy[0], dy[0], sea_y) < max_dist
-    return ((jnp.where(any_tri, 1.0, 0.0) + jnp.where(any_sph, 1.0, 0.0)
-             + jnp.where(any_pl, 1.0, 0.0)) > 0)
+    return jnp.where(any_sph | any_pl, 1.0, 0.0)
 
 
-def _make_kernel(H, W, TH, TW, t_pad, s_pad):
+def _make_kernel(H, W, TH, TW, t_pads, s_pad):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         P = params_ref
         C = coef_ref[:]                      # (N_OBJ_PAD, 1, N_CHANNELS)
-        Ct = C[1:1 + t_pad]                  # triangle rows
+        t_pad = sum(t_pads)
+        Ct_list = []                         # per-cluster triangle row slices
+        off = 1
+        for pad in t_pads:
+            Ct_list.append(C[off:off + pad])
+            off += pad
         Cs = C[1 + t_pad:1 + t_pad + s_pad]  # sphere rows
         Cp = C[0:1, 0, :]                    # sea plane row, (1, N_CHANNELS)
         sph_blocks = Cs[:, :, C_BLOCKS:C_BLOCKS + 1]
         sea_y = P[P_SEAY]
+
+        def cluster_bound(kk):
+            b = P_CLUSTERS + 4 * kk
+            return P[b], P[b + 1], P[b + 2], P[b + 3]
 
         # --- primary rays (kernel.cu:244-253) ---
         row = (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
@@ -312,40 +434,79 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
 
         ambx, amby, ambz = P[P_AMBIENT], P[P_AMBIENT + 1], P[P_AMBIENT + 2]
 
-        def nearest_fn(args):
-            """Nearest-hit sweep + winner attributes + deferred-miss record."""
-            ox, oy, oz, dx, dy, dz, thr, live, mw, mdx, mdy, mdz = args
+        def step(k, carry):
+            """One bounce level, flattened into SIBLING lax.conds (Mosaic
+            cannot legalize nested scf.if). Each triangle cluster runs
+            sweep + local winner reduce inside its own cond, gated on tile
+            liveness AND a sound bounding-sphere interval cull; spheres get
+            their own cond; the cross-group combine is a few 2D selects and
+            runs unconditionally. Shadows repeat the pattern per light. This
+            recovers the reference's sequential early-outs (kernel.cu:192,
+            222) at tile granularity plus spatial culling it never had."""
+            (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
+             mw, mdx, mdy, mdz) = carry
+            any_live = jnp.max(live) > 0
+
             mx = oy * dz - oz * dy          # m = o×d
             my = oz * dx - ox * dz
             mz = ox * dy - oy * dx
-            t_tri = _tri_t(Ct, ox[None], oy[None], oz[None],
-                           dx[None], dy[None], dz[None],
-                           mx[None], my[None], mz[None])
-            t_sph = _sph_t(Cs, ox[None], oy[None], oz[None],
-                           dx[None], dy[None], dz[None])
+            obox = _box(ox) + _box(oy) + _box(oz)
+            dbox = _box(dx) + _box(dy) + _box(dz)
+
+            def group_skip(args):
+                z = jnp.zeros((TH, TW), f32)
+                return (jnp.full((TH, TW), BIG, f32),
+                        jnp.full((TH, TW), 1e9, f32)) + (z,) * 10
+
+            candidates = []
+            for kk, Ctk in enumerate(Ct_list):
+                poss = _cluster_possible(*cluster_bound(kk), obox, dbox)
+
+                def sweep_k(args, Ctk=Ctk):
+                    ox, oy, oz, dx, dy, dz, mx, my, mz = args
+                    t_k = _tri_t(Ctk, ox[None], oy[None], oz[None],
+                                 dx[None], dy[None], dz[None],
+                                 mx[None], my[None], mz[None])
+                    return _local_reduce(Ctk, t_k)
+
+                candidates.append(jax.lax.cond(
+                    any_live & poss, sweep_k, group_skip,
+                    (ox, oy, oz, dx, dy, dz, mx, my, mz)))
+
+            def sweep_sph(args):
+                ox, oy, oz, dx, dy, dz, mx, my, mz = args
+                t_s = _sph_t(Cs, ox[None], oy[None], oz[None],
+                             dx[None], dy[None], dz[None])
+                return _local_reduce(Cs, t_s)
+
+            candidates.append(jax.lax.cond(
+                any_live, sweep_sph, group_skip,
+                (ox, oy, oz, dx, dy, dz, mx, my, mz)))
+
+            # sea plane candidate (cheap 2D math, unconditional)
             t_pl = _plane_t(oy, dy, sea_y)
-            t_min = jnp.minimum(jnp.minimum(jnp.min(t_tri, axis=0),
-                                            jnp.min(t_sph, axis=0)), t_pl)
+            pl_hit = jnp.where(t_pl < BIG * 0.5, 1.0, 0.0)
+            pl_attrs = tuple(pl_hit * Cp[0, c] for c in ATTR_CHANNELS)
+            candidates.append((t_pl, jnp.where(pl_hit > 0, 0.0, 1e9))
+                              + pl_attrs)
+
+            # --- cross-group combine: lexicographic (t, gidx) winner ---
+            t_min = candidates[0][0]
+            for cand in candidates[1:]:
+                t_min = jnp.minimum(t_min, cand[0])
+            win_g = jnp.full((TH, TW), 1e9, f32)
+            for cand in candidates:
+                win_g = jnp.minimum(
+                    win_g, jnp.where(cand[0] == t_min, cand[1], f32(1e9)))
+            picked = [jnp.zeros((TH, TW), f32) for _ in ATTR_CHANNELS]
+            for cand in candidates:
+                sel = jnp.where((cand[0] == t_min) & (cand[1] == win_g),
+                                1.0, 0.0)
+                picked = [p + sel * a for p, a in zip(picked, cand[2:])]
+            (colr, colg, colb, shine, spec_e, kr, flags,
+             nvx, nvy, nvz) = picked
             hit_f = jnp.where(t_min < BIG * 0.5, 1.0, 0.0)
-
-            # winner id via min-reduction over per-object gidx (lowest id on
-            # exact ties, matching the strict-'<' scan kernel.cu:144-151)
-            g_tri = Ct[:, :, C_GIDX:C_GIDX + 1]
-            g_sph = Cs[:, :, C_GIDX:C_GIDX + 1]
-            win_g = jnp.minimum(
-                jnp.min(jnp.where(t_tri == t_min[None], g_tri, f32(1e9)), axis=0),
-                jnp.min(jnp.where(t_sph == t_min[None], g_sph, f32(1e9)), axis=0))
-            win_g = jnp.where(t_pl == t_min, 0.0, win_g)
-            oh_tri = (jnp.where(g_tri == win_g[None], 1.0, 0.0)
-                      * jnp.where(t_tri < BIG * 0.5, 1.0, 0.0))
-            oh_sph = (jnp.where(g_sph == win_g[None], 1.0, 0.0)
-                      * jnp.where(t_sph < BIG * 0.5, 1.0, 0.0))
-            pl_f = jnp.where((win_g == 0.0) & (t_pl < BIG * 0.5), 1.0, 0.0)
-
-            def attr(c):
-                return (jnp.sum(oh_tri * Ct[:, :, c:c + 1], axis=0)
-                        + jnp.sum(oh_sph * Cs[:, :, c:c + 1], axis=0)
-                        + pl_f * Cp[0, c])
+            t_pos = t_min * hit_f            # t clamped to 0 on miss
 
             # --- miss → deferred sky ---
             miss = live * (1.0 - hit_f) > 0
@@ -353,45 +514,6 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
             mdx = jnp.where(miss, dx, mdx)
             mdy = jnp.where(miss, dy, mdy)
             mdz = jnp.where(miss, dz, mdz)
-
-            return (hit_f, t_min * hit_f,        # t clamped to 0 on miss
-                    attr(C_COL), attr(C_COL + 1), attr(C_COL + 2),
-                    attr(C_SHINE), attr(C_SPEC), attr(C_KR),
-                    attr(C_FLAGS),                   # islight*2 + issph
-                    attr(C_NORMAL), attr(C_NORMAL + 1), attr(C_NORMAL + 2),
-                    mw, mdx, mdy, mdz)
-
-        def nearest_skip(args):
-            mw, mdx, mdy, mdz = args[8], args[9], args[10], args[11]
-            z = jnp.zeros((TH, TW), f32)
-            return (z,) * 12 + (mw, mdx, mdy, mdz)
-
-        def shadow_fn(args):
-            # returns an f32 {0,1} mask: scf.if cannot yield i1 vectors
-            hx, hy, hz, sdx, sdy, sdz, sdist = args
-            occ = _occluded(Ct, Cs, sph_blocks,
-                            (hx + sdx * 0.001)[None],
-                            (hy + sdy * 0.001)[None],
-                            (hz + sdz * 0.001)[None],
-                            sdx[None], sdy[None], sdz[None],
-                            sdist, sea_y)
-            return jnp.where(occ, 1.0, 0.0)
-
-        def step(k, carry):
-            """One bounce level. The three sweeps (nearest, shadow×2) are
-            SIBLING lax.conds in the loop body — Mosaic cannot legalize
-            nested scf.if, so per-light shadow skipping is flattened to the
-            same level as the tile-liveness skip. Sky tiles run one sweep;
-            dead tiles run none; lit tiles without shadow-facing lanes skip
-            the occlusion sweeps (the reference's early-outs, kernel.cu:192,
-            at tile granularity)."""
-            (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
-             mw, mdx, mdy, mdz) = carry
-
-            (hit_f, t_pos, colr, colg, colb, shine, spec_e, kr, flags,
-             nvx, nvy, nvz, mw, mdx, mdy, mdz) = jax.lax.cond(
-                jnp.max(live) > 0, nearest_fn, nearest_skip,
-                (ox, oy, oz, dx, dy, dz, thr, live, mw, mdx, mdy, mdz))
 
             hx = ox + dx * t_pos
             hy = oy + dy * t_pos
@@ -408,6 +530,8 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
 
             # per-light geometry stays unconditional (the shadow `need`
             # masks want the angles); shadowed angles collected per light
+            hbox = _box(hx) + _box(hy) + _box(hz)
+            zero2d = lambda a: jnp.zeros((TH, TW), f32)
             angles = []
             sdirs = []
             for li in range(2):
@@ -420,10 +544,39 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
                 sdx, sdy, sdz = lvx * inv, lvy * inv, lvz * inv
                 angle = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
                 need = shaded_f * jnp.where(angle > 0, 1.0, 0.0)
-                occ_f = jax.lax.cond(
-                    jnp.max(need) > 0, shadow_fn,
-                    lambda a: jnp.zeros((TH, TW), f32),
-                    (hx, hy, hz, sdx, sdy, sdz, sdist))
+                any_need = jnp.max(need) > 0
+                sdbox = _box(sdx) + _box(sdy) + _box(sdz)
+
+                sox, soy, soz = (hx + sdx * 0.001, hy + sdy * 0.001,
+                                 hz + sdz * 0.001)
+                smx = soy * sdz - soz * sdy
+                smy = soz * sdx - sox * sdz
+                smz = sox * sdy - soy * sdx
+
+                occ_f = jnp.zeros((TH, TW), f32)
+                for kk, Ctk in enumerate(Ct_list):
+                    poss = _cluster_possible(*cluster_bound(kk), hbox, sdbox)
+
+                    def occ_k(args, Ctk=Ctk):
+                        sox, soy, soz, sdx, sdy, sdz, smx, smy, smz, sdist = args
+                        return _tri_occ_partial(
+                            Ctk, sox[None], soy[None], soz[None],
+                            sdx[None], sdy[None], sdz[None],
+                            smx[None], smy[None], smz[None], sdist)
+
+                    occ_f = occ_f + jax.lax.cond(
+                        any_need & poss, occ_k, zero2d,
+                        (sox, soy, soz, sdx, sdy, sdz, smx, smy, smz, sdist))
+
+                def occ_sp(args):
+                    sox, soy, soz, sdx, sdy, sdz, sdist = args
+                    return _sph_plane_occ_partial(
+                        Cs, sph_blocks, sox[None], soy[None], soz[None],
+                        sdx[None], sdy[None], sdz[None], sdist, sea_y)
+
+                occ_f = occ_f + jax.lax.cond(
+                    any_need, occ_sp, zero2d,
+                    (sox, soy, soz, sdx, sdy, sdz, sdist))
                 angles.append(jnp.where(occ_f > 0, 0.0, angle))
                 sdirs.append((sdx, sdy, sdz))
 
@@ -519,14 +672,14 @@ def _make_kernel(H, W, TH, TW, t_pad, s_pad):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "TH", "TW", "t_pad", "s_pad", "interpret"))
-def raytrace_planes(coef, params, H: int, W: int, t_pad: int, s_pad: int,
+    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret"))
+def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
                     TH: int = 16, TW: int = 256, interpret: bool = False):
     """Run the megakernel → (r, g, b, miss_w, mdx, mdy, mdz), each (H, W) f32."""
     grid = (pl.cdiv(H, TH), pl.cdiv(W, TW))
     out = jax.ShapeDtypeStruct((H, W), f32)
     tile = lambda i, j: (i, j)
-    kernel = _make_kernel(H, W, TH, TW, t_pad, s_pad)
+    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -549,11 +702,19 @@ def raytrace_planes(coef, params, H: int, W: int, t_pad: int, s_pad: int,
 
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               height: int, width: int, tile_h: int = 16,
-                              tile_w: int = 256, interpret: bool = False):
-    """Scene → packed tensors → megakernel → 7 framebuffer planes."""
-    coef = pack_scene(scene, lights, ambient)
+                              tile_w: int = 256, interpret: bool = False,
+                              tri_clusters: tuple | None = None):
+    """Scene → packed tensors → megakernel → 7 framebuffer planes.
+
+    tri_clusters: optional static partition of the triangle list (contiguous
+    counts, e.g. (58, 48) = island+trees / mountains). Each cluster gets a
+    bounding sphere and per-tile interval culling in the kernel; None treats
+    all triangles as one cluster."""
+    coef = pack_scene(scene, lights, ambient, tri_clusters)
     params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1])
-    t_pad = _round_up(scene.n_triangles, 8)
+    bounds = tri_cluster_bounds(scene, tri_clusters).reshape(-1)
+    params = jax.lax.dynamic_update_slice(params, bounds, (P_CLUSTERS,))
+    t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
     s_pad = _round_up(scene.n_spheres, 8)
-    return raytrace_planes(coef, params, height, width, t_pad, s_pad,
+    return raytrace_planes(coef, params, height, width, t_pads, s_pad,
                            tile_h, tile_w, interpret)

@@ -24,12 +24,14 @@ from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "chunk", "aspect", "fxaa_static", "path"))
+    static_argnames=("height", "width", "chunk", "aspect", "fxaa_static",
+                     "path", "tri_clusters"))
 def render_frame(scene: Scene, state: FrameState, sky_texels,
                  height: int, width: int, chunk: int = 32768,
                  aspect: float | None = None,
                  fxaa_static: bool | None = None,
-                 path: str = "fast"):
+                 path: str = "fast",
+                 tri_clusters: tuple | None = None):
     """Render one frame → (height, width, 3) uint8.
 
     aspect defaults to width/height (see RenderConfig.aspect for the
@@ -51,7 +53,8 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
         sh, sw = blended.shape[0], blended.shape[1]
         base = _pallas_base(scene_f, lights, ambient, rays, pack_sky(blended),
                             sh, sw, day_frac, height, width,
-                            interpret=(path == "pallas_interpret"))
+                            interpret=(path == "pallas_interpret"),
+                            tri_clusters=tri_clusters)
     else:
         render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
         base = render(scene_f, lights, ambient, blended, day_frac,
@@ -66,7 +69,8 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
 
 
 def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
-                 day_frac, height, width, interpret=False):
+                 day_frac, height, width, interpret=False,
+                 tri_clusters=None):
     """Megakernel + deferred sky resolve from a pre-packed sky plane.
 
     Split out so callers that cache the packed sky across frames (the sky
@@ -77,7 +81,8 @@ def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
     from raytracing_cuda_tpu.scene.textures import sample_sky_packed
 
     r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
-        scene_f, lights, ambient, rays, height, width, interpret=interpret)
+        scene_f, lights, ambient, rays, height, width, interpret=interpret,
+        tri_clusters=tri_clusters)
     mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
     sky = sample_sky_packed(packed_sky, sky_h, sky_w, mdir, day_frac)
     return quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
@@ -87,7 +92,8 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
                             cached_vars, cached_packed,
                             height: int, width: int,
                             aspect: float | None = None,
-                            fxaa_static: bool | None = None):
+                            fxaa_static: bool | None = None,
+                            tri_clusters: tuple | None = None):
     """Pallas-path render that reuses a cached pre-blended sky.
 
     Returns (image, new_cached_vars, new_cached_packed). The 4-panorama
@@ -112,7 +118,7 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
 
     sh, sw = sky_texels.shape[1], sky_texels.shape[2]
     base = _pallas_base(scene_f, lights, ambient, rays, packed, sh, sw,
-                        day_frac, height, width)
+                        day_frac, height, width, tri_clusters=tri_clusters)
     if fxaa_static is None:
         img = apply_fxaa(base, state.aa)
     elif fxaa_static:

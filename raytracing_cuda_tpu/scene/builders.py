@@ -367,6 +367,12 @@ def build_classic_scene() -> Scene:
 CLASSIC_CAMERA = dict(pos=(55.0, 14.0, -3.0), hor_angle=180.0,
                       ver_angle=-12.0, fov=40.0)
 
+# Static triangle-cluster partition for the island scene (contiguous in
+# build order): island box + tree triangles, then mountain triangles.
+# Drives per-tile bounding-sphere culling in the Pallas kernel.
+ISLAND_TRI_CLUSTERS = (58, 48)
+TRI_CLUSTERS = {"island": ISLAND_TRI_CLUSTERS, "classic": None}
+
 SCENES = {"island": build_scene, "classic": build_classic_scene}
 
 

@@ -107,3 +107,20 @@ def test_classic_scene_paths_agree(sky):
                                       path=path), np.float32)
         diff = np.abs(img - ref)
         assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3, path
+
+
+def test_pallas_clustered_matches_oracle(scene, sky):
+    """Cluster-culled kernel (island partition) must be output-identical:
+    the per-tile bounding-sphere interval test is conservative, never
+    changing which objects a ray can hit."""
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+
+    for case in (CASES[0], CASES[1], CASES[3]):
+        st = _state(**case)
+        a = np.asarray(render_frame(scene, st, sky, H, W,
+                                    path="pallas_interpret",
+                                    tri_clusters=ISLAND_TRI_CLUSTERS), np.float32)
+        b = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                    path="oracle"), np.float32)
+        diff = np.abs(a - b)
+        assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
