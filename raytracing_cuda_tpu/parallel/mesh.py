@@ -37,12 +37,15 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "height", "width", "chunk", "aspect", "fxaa_static"),
+    static_argnames=("mesh", "height", "width", "chunk", "aspect",
+                     "fxaa_static", "path", "tri_clusters"),
 )
 def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          mesh: Mesh, height: int, width: int,
                          chunk: int = 32768, aspect: float | None = None,
-                         fxaa_static: bool | None = None):
+                         fxaa_static: bool | None = None,
+                         path: str = "fast",
+                         tri_clusters: tuple | None = None):
     """Row-sharded render of one frame → (height, width, 3) uint8.
 
     Output matches render_frame exactly: rays are generated from global row
@@ -65,9 +68,37 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
     def shard_fn(scene_f, lights, ambient, blended, rays, day_frac, aa):
         idx = jax.lax.axis_index(AXIS)
         row0 = idx * band
-        base = render_base_image_fast(scene_f, lights, ambient, blended,
-                                      day_frac, rays, band, width, row0=row0,
-                                      total_height=height, chunk=chunk)
+        if path in ("pallas", "pallas_interpret"):
+            # each shard runs the megakernel on its band; ray generation is
+            # positioned by global row so output matches single-chip exactly.
+            # NOTE: row0 must be static inside the kernel, so the band render
+            # switches over the axis index (n is small).
+            from raytracing_cuda_tpu.render.pallas_rt import (
+                render_base_planes_pallas)
+            from raytracing_cuda_tpu.render.reference import quantize
+            from raytracing_cuda_tpu.scene.textures import (pack_sky,
+                                                            sample_sky_packed)
+
+            def band_at(k):
+                def fn(_):
+                    return render_base_planes_pallas(
+                        scene_f, lights, ambient, rays, band, width,
+                        interpret=(path == "pallas_interpret"),
+                        tri_clusters=tri_clusters,
+                        row0=k * band, total_height=height)
+                return fn
+
+            planes = jax.lax.switch(idx, [band_at(k) for k in range(n)], None)
+            r, g, b, mw, mdx, mdy, mdz = planes
+            mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
+            sh, sw = blended.shape[0], blended.shape[1]
+            sky = sample_sky_packed(pack_sky(blended), sh, sw, mdir, day_frac)
+            base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
+        else:
+            base = render_base_image_fast(scene_f, lights, ambient, blended,
+                                          day_frac, rays, band, width,
+                                          row0=row0,
+                                          total_height=height, chunk=chunk)
 
         # 1-row halo exchange with ring neighbors (edge shards receive zeros;
         # those halo rows only influence global border rows, which pass

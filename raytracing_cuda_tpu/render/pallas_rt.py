@@ -376,7 +376,7 @@ def _sph_plane_occ_partial(Cs, sph_blocks, ox, oy, oz, dx, dy, dz,
     return jnp.where(any_sph | any_pl, 1.0, 0.0)
 
 
-def _make_kernel(H, W, TH, TW, t_pads, s_pad):
+def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         i = pl.program_id(0)
@@ -398,11 +398,15 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad):
             b = P_CLUSTERS + 4 * kk
             return P[b], P[b + 1], P[b + 2], P[b + 3]
 
-        # --- primary rays (kernel.cu:244-253) ---
-        row = (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+        # --- primary rays (kernel.cu:244-253); row0/total_h address a band
+        # of a larger framebuffer so multi-chip shards reproduce the exact
+        # single-chip rays ---
+        th_total = H if total_h is None else total_h
+        row = (row0 + i * TH
+               + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
         col = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
         px = col * (1.0 / (W - 1))
-        py = row * (1.0 / (H - 1))
+        py = row * (1.0 / (th_total - 1))
 
         def corner(base):
             return P[base], P[base + 1], P[base + 2]
@@ -672,14 +676,15 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret"))
+    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret", "row0", "total_h"))
 def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
-                    TH: int = 16, TW: int = 256, interpret: bool = False):
+                    TH: int = 16, TW: int = 256, interpret: bool = False,
+                    row0: int = 0, total_h: int | None = None):
     """Run the megakernel → (r, g, b, miss_w, mdx, mdy, mdz), each (H, W) f32."""
     grid = (pl.cdiv(H, TH), pl.cdiv(W, TW))
     out = jax.ShapeDtypeStruct((H, W), f32)
     tile = lambda i, j: (i, j)
-    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad)
+    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad, row0, total_h)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -703,7 +708,8 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               height: int, width: int, tile_h: int = 16,
                               tile_w: int = 256, interpret: bool = False,
-                              tri_clusters: tuple | None = None):
+                              tri_clusters: tuple | None = None,
+                              row0: int = 0, total_height: int | None = None):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
 
     tri_clusters: optional static partition of the triangle list (contiguous
@@ -717,4 +723,4 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
     s_pad = _round_up(scene.n_spheres, 8)
     return raytrace_planes(coef, params, height, width, t_pads, s_pad,
-                           tile_h, tile_w, interpret)
+                           tile_h, tile_w, interpret, row0, total_height)

@@ -57,3 +57,19 @@ def test_indivisible_height_raises(setup):
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
         render_frame_sharded(scene, st, sky, mesh=mesh, height=60, width=W)
+
+
+def test_sharded_pallas_matches_single_chip(setup):
+    """Megakernel inside shard_map: band-offset ray generation must make the
+    sharded pallas render bit-identical to the single-chip pallas render."""
+    scene, sky, st = setup
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+
+    mesh = make_mesh(4)
+    single = np.asarray(render_frame(
+        scene, st, sky, H, W, path="pallas_interpret",
+        tri_clusters=ISLAND_TRI_CLUSTERS))
+    sharded = np.asarray(render_frame_sharded(
+        scene, st, sky, mesh=mesh, height=H, width=W,
+        path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS))
+    assert np.array_equal(single, sharded)
