@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--day", type=float, default=None, help="clock hour 0-24")
     ap.add_argument("--cam", type=int, default=None, help="camera preset 0/1")
     ap.add_argument("--no-aa", action="store_true")
+    ap.add_argument("--gif", default=None,
+                    help="record: also assemble frames into an animated GIF")
     args = ap.parse_args(argv)
 
     # this environment's sitecustomize may import jax (consuming JAX_PLATFORMS)
@@ -117,6 +119,16 @@ def main(argv=None):
         else:
             emit_all(frameio.write_png)
         print(f"wrote {args.frames} frames to {out_dir}")
+        if args.gif:
+            from PIL import Image
+
+            frames_pil = [
+                Image.open(os.path.join(out_dir, f"{i:04d}.png")).convert("P")
+                for i in range(args.frames)]
+            frames_pil[0].save(args.gif, save_all=True,
+                               append_images=frames_pil[1:], duration=33,
+                               loop=0)
+            print(f"wrote {args.gif}")
         return 0
 
     if args.command == "bench":

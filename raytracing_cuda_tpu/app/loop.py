@@ -9,8 +9,7 @@ take framebuffers out.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Iterable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from raytracing_cuda_tpu.core.types import SPHERE, Scene
+from raytracing_cuda_tpu.core.types import Scene
 
 # plain numpy scalar: module import must not initialize a jax backend
 INF = np.float32(np.inf)

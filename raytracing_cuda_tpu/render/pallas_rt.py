@@ -33,11 +33,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracing_cuda_tpu.core.types import SPHERE, Lights, Scene
+from raytracing_cuda_tpu.core.types import Lights, Scene
 
 f32 = jnp.float32
 
