@@ -15,6 +15,8 @@ sim.animate step. Controls follow the reference README:
   5 / 6        camera presets (island / mountains)     scene.cpp:736-747
   B / V        FXAA on / off                           scene.cpp:750-755
   F            toggle fullscreen                       main.cpp:277-284
+  F5 / F9      save / load state checkpoint (new capability — the reference
+               rebuilds all state at startup, scene.cpp:654)
   ESC          quit                                    main.cpp:286-289
 
 The window title shows FPS and the HH:MM clock like the reference's
@@ -97,6 +99,17 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                     flags = pygame.FULLSCREEN if fullscreen else 0
                     screen = pygame.display.set_mode(
                         (config.width, config.height), flags)
+                elif ev.key == pygame.K_F5:
+                    from raytracing_cuda_tpu.utils.checkpoint import save_state
+
+                    save_state(engine.state, "raytracer_state.json")
+                elif ev.key == pygame.K_F9:
+                    from raytracing_cuda_tpu.utils.checkpoint import load_state
+
+                    try:
+                        engine.set_state(load_state("raytracer_state.json"))
+                    except FileNotFoundError:
+                        pass
 
         now = time.perf_counter()
         dt, last = now - last, now             # updateDelta, main.cpp:255-258

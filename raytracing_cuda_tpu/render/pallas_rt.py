@@ -8,23 +8,32 @@ coefficient tensor, ~70 KB), every intersection plane, and the full bounce
 carry. One kernel launch renders the whole pre-sky framebuffer; nothing
 round-trips HBM between bounces.
 
-Structure per tile:
+Structure per tile (one fori_loop iteration per bounce level, everything
+inside flattened SIBLING lax.conds — Mosaic cannot legalize nested scf.if):
   - primary rays from frustum-corner interpolation (kernel.cu:244-253),
-    generated in-kernel from iota — no ray buffer in HBM.
+    generated in-kernel from iota — no ray buffer in HBM; static
+    (row0, total_height) lets multi-chip shards render bands with
+    globally-correct rays.
+  - each triangle cluster runs sweep + local winner-reduce + local one-hot
+    attribute sums in its own cond, gated on tile liveness AND a sound
+    bounding-sphere interval cull against the tile's ray box; spheres get
+    their own cond; the sea plane is cheap 2D math. The cross-group combine
+    is a few lexicographic (t, gidx) selects (tie-break parity with the
+    strict-'<' scan, kernel.cu:144-151). No gathers anywhere — XLA lowers
+    them catastrophically on TPU.
   - intersection sweeps evaluate the linear-form tests (ops.linear_forms
-    docstring) over an object-batched (N, TILE_H, TILE_W) tensor; nearest-hit
-    and occlusion are sublane reductions (kernel.cu:144-151, 188-193).
-  - winner attributes resolve via an exact one-hot (unique object ids) and
-    masked sums — no gathers, which XLA lowers catastrophically on TPU.
-  - the recursion (kernel.cu:131-225) is 5 unrolled bounce iterations, each
-    wrapped in lax.cond("any lane live") so sky tiles pay one sweep and most
-    tiles skip the deep reflection levels — the tile-granular analogue of the
-    sequential early-outs the reference gets for free.
+    docstring) over object-batched (rows, TILE_H, TILE_W) tensors;
+    occlusion sweeps repeat the cull-and-cond pattern per light
+    (kernel.cu:188-193).
+  - the shading/mirror tail (transcendentals) runs in its own cond only
+    when some lane hit; live lanes carry as f32 masks (i1 loop carries are
+    unsupported).
   - misses record (throughput, direction); the equirect sky gather
     (kernel.cu:156-163) runs once per pixel afterwards in XLA, fused with
     the final combine + quantize.
 
 Outputs 7 (H, W) f32 planes: hit-path RGB, miss weight, miss direction xyz.
+Tile size (16, 256) won a sweep over {8..48}x{128..512} on v5e.
 """
 
 from __future__ import annotations
