@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=65536)
     ap.add_argument("--skip-configs", action="store_true",
                     help="only run the headline sustained loop")
+    ap.add_argument("--no-sky-cache", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     from raytracing_cuda_tpu.app.loop import Engine
@@ -55,7 +57,8 @@ def main():
 
     cfg = RenderConfig(width=w, height=h, chunk=args.chunk, sky_source=args.sky,
                        sky_downsample=args.sky_downsample,
-                       procedural_sky_shape=sky_shape)
+                       procedural_sky_shape=sky_shape,
+                       sky_cache=not args.no_sky_cache)
     log(f"backend={jax.default_backend()} devices={jax.devices()} size={w}x{h} "
         f"frames={frames}")
 
@@ -126,7 +129,7 @@ def main():
             move_forward=np.int32(1 if (i // 60) % 2 == 0 else 0),
         )
 
-    stats = eng.run(frames, action_fn=camera_path, dt=1 / 60, batch=8)
+    stats = eng.run(frames, action_fn=camera_path, dt=1 / 60, batch=args.batch)
     details["sustained"] = stats.as_dict()
     log(json.dumps(details, indent=2))
 

@@ -387,10 +387,19 @@ def _sph_plane_occ_partial(Cs, sph_blocks, ox, oy, oz, dx, dy, dz,
 def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        P = params_ref
-        C = coef_ref[:]                      # (N_OBJ_PAD, 1, N_CHANNELS)
+        # grid = (frames, row tiles, col tiles); the frame dimension batches
+        # whole frames into one launch (per-frame params/coef arrive via the
+        # BlockSpec index maps), amortizing fixed per-dispatch costs
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+
+        class _P:   # scalar reads from this frame's row of the SMEM params
+            def __getitem__(self, idx):
+                return params_ref[f, idx]
+
+        P = _P()
+        C = coef_ref[0]                      # (N_OBJ_PAD, 1, N_CHANNELS)
         t_pad = sum(t_pads)
         Ct_list = []                         # per-cluster triangle row slices
         off = 1
@@ -672,45 +681,64 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None):
         carry = jax.lax.fori_loop(0, MAX_DEPTH + 1, step, carry)
 
         (_, _, _, _, _, _, _, ra, ga, ba, _, mw, mdx, mdy, mdz) = carry
-        r_ref[:] = ra
-        g_ref[:] = ga
-        b_ref[:] = ba
-        mw_ref[:] = mw
-        mdx_ref[:] = mdx
-        mdy_ref[:] = mdy
-        mdz_ref[:] = mdz
+        r_ref[0] = ra
+        g_ref[0] = ga
+        b_ref[0] = ba
+        mw_ref[0] = mw
+        mdx_ref[0] = mdx
+        mdy_ref[0] = mdy
+        mdz_ref[0] = mdz
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
     "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret", "row0", "total_h"))
-def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
-                    TH: int = 16, TW: int = 256, interpret: bool = False,
-                    row0: int = 0, total_h: int | None = None):
-    """Run the megakernel → (r, g, b, miss_w, mdx, mdy, mdz), each (H, W) f32."""
-    grid = (pl.cdiv(H, TH), pl.cdiv(W, TW))
-    out = jax.ShapeDtypeStruct((H, W), f32)
-    tile = lambda i, j: (i, j)
+def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
+                          s_pad: int, TH: int = 16, TW: int = 256,
+                          interpret: bool = False,
+                          row0: int = 0, total_h: int | None = None):
+    """Render a BATCH of frames in one launch.
+
+    coefs (K, N_OBJ_PAD, 1, C), params (K, N_PARAMS) → 7 planes of
+    (K, H, W) f32. The grid's leading dimension walks frames; fixed
+    per-dispatch costs amortize over K (scripted animation / benchmark
+    batches — the latency-sensitive interactive path uses K=1)."""
+    K = coefs.shape[0]
+    grid = (K, pl.cdiv(H, TH), pl.cdiv(W, TW))
+    out = jax.ShapeDtypeStruct((K, H, W), f32)
+    tile = lambda f, i, j: (f, i, j)
     kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad, row0, total_h)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            # full (K, N_PARAMS) table in SMEM, indexed by program_id(0)
+            # (a (1, N) block would violate the divisible-by-8 rule)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + coefs.shape[1:], lambda f, i, j: (f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            pl.BlockSpec((TH, TW), tile, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, TH, TW), tile, memory_space=pltpu.VMEM)
             for _ in range(7)),
         out_shape=(out,) * 7,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            # grid steps are independent pixel tiles: lets Mosaic overlap
-            # output DMA with the next tile's compute
-            dimension_semantics=("parallel", "parallel")),
+            # grid steps are independent (frames x pixel tiles): lets Mosaic
+            # overlap output DMA with the next tile's compute
+            dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
-    )(params, coef)
+    )(params, coefs)
+
+
+def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
+                    TH: int = 16, TW: int = 256, interpret: bool = False,
+                    row0: int = 0, total_h: int | None = None):
+    """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
+    planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
+                                   s_pad, TH, TW, interpret, row0, total_h)
+    return tuple(p[0] for p in planes)
 
 
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,

@@ -135,3 +135,90 @@ def render_frame_np(scene, state, sky: SkyTextures, height, width, **kw):
     import numpy as np
 
     return np.asarray(render_frame(scene, state, sky.texels, height, width, **kw))
+
+
+def render_frames_batch(scene: Scene, state, sky_texels,
+                        cached_vars, cached_packed, action_vecs,
+                        height: int, width: int,
+                        aspect: float | None = None,
+                        tri_clusters: tuple | None = None,
+                        interpret: bool = False):
+    """Render a whole batch of frames in ONE megakernel launch.
+
+    A cheap pre-scan steps the state machine and maintains the cached
+    pre-blended sky per frame, per-frame scene packs are vmapped, the
+    Pallas kernel walks frames in its grid's leading dimension, and the
+    deferred sky resolve + FXAA batch over frames. Built for offline /
+    scripted rendering; for the sustained interactive loop a lax.scan of
+    single-frame launches measured slightly faster on this backend
+    (Engine._step_render_batch).
+
+    Returns (imgs (K, H, W, 3) u8, last_state, cached_vars, cached_packed).
+    """
+    import functools
+
+    from raytracing_cuda_tpu.render.fxaa import fxaa
+    from raytracing_cuda_tpu.render.pallas_rt import (
+        N_PARAMS, P_CLUSTERS, _round_up, pack_params, pack_scene,
+        raytrace_planes_batch, tri_cluster_bounds, tri_cluster_pads)
+    from raytracing_cuda_tpu.render.reference import quantize
+    from raytracing_cuda_tpu.scene.textures import blend_sky, pack_sky
+    from raytracing_cuda_tpu.sim.actions import Action
+    from raytracing_cuda_tpu.sim.state import camera_rays, derive_frame
+    from raytracing_cuda_tpu.core.math3d import PI
+
+    if aspect is None:
+        aspect = width / height
+
+    # 1. pre-scan: state machine + per-frame cached sky
+    def pre(carry, av):
+        st, cvars, cpacked = carry
+        st = sim_animate(st, Action.unpack(av), Action.unpack_dt(av))
+        changed = jnp.any(st.sky_vars != cvars)
+        packed = jax.lax.cond(
+            changed,
+            lambda _: pack_sky(blend_sky(sky_texels, st.sky_vars)),
+            lambda _: cpacked, None)
+        return (st, st.sky_vars, packed), (st, packed)
+
+    from raytracing_cuda_tpu.sim.state import animate as sim_animate
+
+    (state, cached_vars, cached_packed), (states, packs) = jax.lax.scan(
+        pre, (state, cached_vars, cached_packed), action_vecs)
+    K = action_vecs.shape[0]
+
+    # 2. per-frame scene derivation + packs (vmapped)
+    scene_fs, lights, ambients = jax.vmap(derive_frame, (None, 0))(scene, states)
+    rays = jax.vmap(camera_rays, (0, None))(states.cam, aspect)
+    coefs = jax.vmap(functools.partial(pack_scene, tri_clusters=tri_clusters))(
+        scene_fs, lights, ambients)
+    params = jax.vmap(pack_params)(rays, lights, ambients,
+                                   scene_fs.plane_pos[:, 1])
+    bounds = tri_cluster_bounds(scene, tri_clusters).reshape(-1)  # static geometry
+    params = jax.vmap(
+        lambda p: jax.lax.dynamic_update_slice(p, bounds, (P_CLUSTERS,)))(params)
+
+    # 3. one launch for the whole batch
+    t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
+    s_pad = _round_up(scene.n_spheres, 8)
+    r, g, b, mw, mdx, mdy, mdz = raytrace_planes_batch(
+        coefs, params, height, width, t_pads, s_pad, interpret=interpret)
+
+    # 4. deferred sky: per-frame equirect lookup into the per-frame packed
+    # skies (one flat gather over the stacked planes)
+    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
+    day_frac = (states.day_time / 24.0)[:, None, None]
+    y = 1.0 - (jnp.arcsin(jnp.clip(mdy, -1.0, 1.0)) + PI / 2.0) / PI
+    x = jnp.mod((jnp.arctan2(mdx, mdz) + PI) / (2.0 * PI) + day_frac, 1.0)
+    ix = jnp.clip((x * sw).astype(jnp.int32), 0, sw - 1)
+    iy = jnp.clip((y * sh).astype(jnp.int32), 0, sh - 1)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, ix.shape, 0)
+    texel = packs.reshape(-1)[(fidx * (sh * sw)) + iy * sw + ix]
+    sky = jnp.stack([texel & 0xFF, (texel >> 8) & 0xFF, (texel >> 16) & 0xFF],
+                    axis=-1).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
+
+    # 5. FXAA per frame (vmapped; runtime aa flags select per frame)
+    aa_imgs = jax.vmap(fxaa)(base)
+    imgs = jnp.where(states.aa[:, None, None, None], aa_imgs, base)
+    return imgs, state, cached_vars, cached_packed

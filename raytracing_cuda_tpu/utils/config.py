@@ -19,6 +19,7 @@ class RenderConfig:
     path: str = "auto"          # raytracer: 'pallas' | 'fast' | 'oracle' | 'auto'
     # 'auto' → the Pallas megakernel on TPU, the fused-XLA fast path elsewhere
     scene: str = "island"       # scene family: 'island' | 'classic'
+    sky_cache: bool = True      # reuse the pre-blended sky across frames
     antialiasing: bool = True   # FXAA default on (scene.cpp:24)
     sky_source: str = "auto"    # 'reference' | 'procedural' | 'auto'
     sky_downsample: int = 1     # point-sample every k-th sky texel

@@ -124,3 +124,31 @@ def test_pallas_clustered_matches_oracle(scene, sky):
                                     path="oracle"), np.float32)
         diff = np.abs(a - b)
         assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
+
+
+def test_batch_render_matches_sequential(scene, sky):
+    """render_frames_batch (one kernel launch for K frames) must match the
+    sequential per-frame renders."""
+    from raytracing_cuda_tpu.render.pipeline import render_frames_batch
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+    from raytracing_cuda_tpu.sim.actions import Action
+
+    st0 = sim.settle(sim.init_state())
+    K = 3
+    vecs = jnp.asarray(np.stack([
+        Action.idle()._replace(mouse_dx=np.float32(2.0 * i)).pack(1 / 60)
+        for i in range(K)]))
+    cv = jnp.full((4,), jnp.nan, jnp.float32)
+    cp = jnp.zeros((sky.shape[1] * sky.shape[2],), jnp.int32)
+    imgs, _, _, _ = render_frames_batch(
+        scene, st0, sky, cv, cp, vecs, H, W,
+        tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
+    imgs = np.asarray(imgs, np.float32)
+
+    st = st0
+    for i in range(K):
+        st = sim.animate(st, Action.unpack(vecs[i]), vecs[i][14])
+        ref = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                      path="oracle"), np.float32)
+        diff = np.abs(imgs[i] - ref)
+        assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3, f"frame {i}"
