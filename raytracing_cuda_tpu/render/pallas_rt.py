@@ -369,48 +369,17 @@ def _local_reduce(Cg, t_g):
 
 
 def _tri_occ_partial(Ctk, ox, oy, oz, dx, dy, dz, mx, my, mz, max_dist):
-    """Shadow partial from one triangle cluster → f32 {0,1} (TH, TW).
-
-    Division-free: occlusion only needs existence of a hit with
-    t < max_dist ⟺ t·det < max_dist·det (det > 0 after the cull)."""
-    cdx, cdy, cdz = _vec3(Ctk, C_CDET)
-    aux, auy, auz = _vec3(Ctk, C_AU)
-    bux, buy, buz = _vec3(Ctk, C_BU)
-    avx, avy, avz = _vec3(Ctk, C_AV)
-    bvx, bvy, bvz = _vec3(Ctk, C_BV)
-    nx, ny, nz = _vec3(Ctk, C_N)
-    det = _dot3(dx, dy, dz, cdx, cdy, cdz)
-    u_det = _dot3(dx, dy, dz, aux, auy, auz) + _dot3(mx, my, mz, bux, buy, buz)
-    v_det = _dot3(dx, dy, dz, avx, avy, avz) - _dot3(mx, my, mz, bvx, bvy, bvz)
-    t_det = _dot3(ox, oy, oz, nx, ny, nz) - Ctk[:, :, C_V0N:C_V0N + 1]
-    acc = jnp.minimum(jnp.minimum(det - 0.001, t_det),
-                      jnp.minimum(jnp.minimum(u_det, v_det),
-                                  det - u_det - v_det))
-    blocked = (jnp.where(acc >= 0, 1.0, 0.0)
-               * jnp.where(t_det < max_dist[None] * det, 1.0, 0.0))
-    return jnp.where(jnp.max(blocked, axis=0) > 0, 1.0, 0.0)
+    """Shadow partial from one triangle cluster → f32 {0,1} (TH, TW)."""
+    t = _tri_t(Ctk, ox, oy, oz, dx, dy, dz, mx, my, mz)
+    return jnp.where(jnp.min(t, axis=0) < max_dist, 1.0, 0.0)
 
 
 def _sph_plane_occ_partial(Cs, sph_blocks, ox, oy, oz, dx, dy, dz,
                            max_dist, sea_y):
     """Shadow partial from spheres (non-light only, kernel.cu:188-193) and
-    the sea plane → f32 {0,1} (TH, TW).
-
-    sqrt-free: t = tca − √(r²−d²) < dist ⟺ tca − dist < 0 OR
-    (tca − dist)² < r² − d² (both sides non-negative)."""
-    px, py, pz = _vec3(Cs, C_CENTER)
-    od = _dot3(ox, oy, oz, dx, dy, dz)
-    oo = _dot3(ox, oy, oz, ox, oy, oz)
-    tca = _dot3(dx, dy, dz, px, py, pz) - od
-    ll = Cs[:, :, C_POS2:C_POS2 + 1] - 2.0 * _dot3(ox, oy, oz, px, py, pz) + oo
-    d2 = ll - tca * tca
-    r2 = Cs[:, :, C_R2:C_R2 + 1]
-    acc = jnp.minimum(tca, jnp.minimum(r2 - d2, d2 + 0.01))
-    delta = tca - max_dist[None]
-    closer = jnp.maximum(jnp.where(delta < 0, 1.0, 0.0),
-                         jnp.where(delta * delta < r2 - d2, 1.0, 0.0))
-    blocked = jnp.where(acc > 0, closer, 0.0) * sph_blocks
-    any_sph = jnp.max(blocked, axis=0) > 0
+    the sea plane → f32 {0,1} (TH, TW)."""
+    t_sph = jnp.where(sph_blocks > 0, _sph_t(Cs, ox, oy, oz, dx, dy, dz), BIG)
+    any_sph = jnp.min(t_sph, axis=0) < max_dist
     any_pl = _plane_t(oy[0], dy[0], sea_y) < max_dist
     return jnp.where(any_sph | any_pl, 1.0, 0.0)
 
