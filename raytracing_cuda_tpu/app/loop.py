@@ -184,8 +184,7 @@ class Engine:
             if batch > 1:
                 device_sync(self.step_and_frame_batch(
                     np.stack([Action.idle().pack(dt)] * batch)))
-            else:
-                device_sync(self.step_and_frame(None, dt))
+            device_sync(self.step_and_frame(None, dt))
         self.state = state0
 
         timer = FrameTimer(c.width, c.height).start()
@@ -193,14 +192,21 @@ class Engine:
         if batch > 1:
             assert on_frame is None, "batch mode yields frames per batch"
             done = 0
-            while done < n_frames:
-                b = min(batch, n_frames - done)
+            # full batches through the scan program; the remainder runs as
+            # single-frame steps — a differently-shaped final batch would
+            # recompile inside the timed region
+            while done + batch <= n_frames:
                 vecs = np.stack([
                     (action_fn(done + j) if action_fn else Action.idle()).pack(dt)
-                    for j in range(b)])
+                    for j in range(batch)])
                 img = self.step_and_frame_batch(vecs)
-                timer.frames += b
-                done += b
+                timer.frames += batch
+                done += batch
+            while done < n_frames:
+                img = self.step_and_frame(
+                    action_fn(done) if action_fn else None, dt)
+                timer.frames += 1
+                done += 1
             device_sync(img)
             return timer.stop()
         for i in range(n_frames):

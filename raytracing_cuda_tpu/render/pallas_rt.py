@@ -384,7 +384,7 @@ def _sph_plane_occ_partial(Cs, sph_blocks, ox, oy, oz, dx, dy, dz,
     return jnp.where(any_sph | any_pl, 1.0, 0.0)
 
 
-def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None):
+def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None, total_w=None):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -419,10 +419,11 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None):
         # of a larger framebuffer so multi-chip shards reproduce the exact
         # single-chip rays ---
         th_total = H if total_h is None else total_h
+        tw_total = W if total_w is None else total_w
         row = (row0 + i * TH
                + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
         col = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
-        px = col * (1.0 / (W - 1))
+        px = col * (1.0 / (tw_total - 1))
         py = row * (1.0 / (th_total - 1))
 
         def corner(base):
@@ -693,11 +694,13 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret", "row0", "total_h"))
+    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret", "row0", "total_h",
+    "total_w"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pad: int, TH: int = 16, TW: int = 256,
                           interpret: bool = False,
-                          row0: int = 0, total_h: int | None = None):
+                          row0: int = 0, total_h: int | None = None,
+                          total_w: int | None = None):
     """Render a BATCH of frames in one launch.
 
     coefs (K, N_OBJ_PAD, 1, C), params (K, N_PARAMS) → 7 planes of
@@ -708,7 +711,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
     grid = (K, pl.cdiv(H, TH), pl.cdiv(W, TW))
     out = jax.ShapeDtypeStruct((K, H, W), f32)
     tile = lambda f, i, j: (f, i, j)
-    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad, row0, total_h)
+    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad, row0, total_h, total_w)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -734,10 +737,12 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
 
 def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
                     TH: int = 16, TW: int = 256, interpret: bool = False,
-                    row0: int = 0, total_h: int | None = None):
+                    row0: int = 0, total_h: int | None = None,
+                    total_w: int | None = None):
     """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
     planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
-                                   s_pad, TH, TW, interpret, row0, total_h)
+                                   s_pad, TH, TW, interpret, row0, total_h,
+                                   total_w)
     return tuple(p[0] for p in planes)
 
 
@@ -758,5 +763,14 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     params = jax.lax.dynamic_update_slice(params, bounds, (P_CLUSTERS,))
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
     s_pad = _round_up(scene.n_spheres, 8)
-    return raytrace_planes(coef, params, height, width, t_pads, s_pad,
-                           tile_h, tile_w, interpret, row0, total_height)
+    # Mosaic executes partial edge blocks ~14x slower than full ones; render
+    # at the next tile multiple and crop (the padded rays are harmless)
+    h_pad = _round_up(height, tile_h)
+    w_pad = _round_up(width, tile_w)
+    planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pad,
+                             tile_h, tile_w, interpret, row0,
+                             total_height if total_height is not None
+                             else height, width)
+    if (h_pad, w_pad) != (height, width):
+        planes = tuple(p[:height, :width] for p in planes)
+    return planes

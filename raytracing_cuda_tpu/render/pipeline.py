@@ -201,8 +201,14 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     # 3. one launch for the whole batch
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
     s_pad = _round_up(scene.n_spheres, 8)
-    r, g, b, mw, mdx, mdy, mdz = raytrace_planes_batch(
-        coefs, params, height, width, t_pads, s_pad, interpret=interpret)
+    h_pad = _round_up(height, 16)
+    w_pad = _round_up(width, 256)
+    planes = raytrace_planes_batch(
+        coefs, params, h_pad, w_pad, t_pads, s_pad, interpret=interpret,
+        total_h=height, total_w=width)
+    if (h_pad, w_pad) != (height, width):
+        planes = tuple(p[:, :height, :width] for p in planes)
+    r, g, b, mw, mdx, mdy, mdz = planes
 
     # 4. deferred sky: per-frame equirect lookup into the per-frame packed
     # skies (one flat gather over the stacked planes)
