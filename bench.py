@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--size", default=None, help="WxH, e.g. 1280x720")
     ap.add_argument("--sky", default="auto", choices=["auto", "reference", "procedural"])
     ap.add_argument("--sky-downsample", type=int, default=1)
-    ap.add_argument("--chunk", type=int, default=65536)
+    ap.add_argument("--chunk", type=int, default=32768)
     ap.add_argument("--skip-configs", action="store_true",
                     help="only run the headline sustained loop")
     ap.add_argument("--no-sky-cache", action="store_true")
