@@ -39,7 +39,8 @@ class Engine:
                               downsample=self.config.sky_downsample,
                               procedural_shape=self.config.procedural_sky_shape)
         self.sky_texels = jax.device_put(self.sky.texels)
-        self.state = sim.settle(sim.init_state())
+        self.state = sim.settle(sim.init_state()._replace(
+            aa=jnp.bool_(self.config.antialiasing)))
         if self.config.scene == "classic":
             from raytracing_cuda_tpu.core.types import Camera
 
@@ -153,7 +154,10 @@ class Engine:
         if self.mesh is not None and self.mesh.size > 1:
             return render_frame_sharded(
                 self.scene, self.state, self.sky_texels, mesh=self.mesh,
-                height=c.height, width=c.width, chunk=c.chunk, aspect=c.aspect)
+                height=c.height, width=c.width, chunk=c.chunk, aspect=c.aspect,
+                path=self.path,
+                tri_clusters=self.tri_clusters
+                if self.path == "pallas" else None)
         return render_frame(self.scene, self.state, self.sky_texels,
                             c.height, c.width, chunk=c.chunk, aspect=c.aspect,
                             path=self.path,

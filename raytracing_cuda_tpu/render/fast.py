@@ -34,11 +34,9 @@ from raytracing_cuda_tpu.ops import linear_forms as lf
 from raytracing_cuda_tpu.render.reference import MAX_DEPTH, primary_rays, quantize
 from raytracing_cuda_tpu.scene.textures import sample_sky
 
+from raytracing_cuda_tpu.core.math3d import normalize as _normalize
+
 f32 = jnp.float32
-
-
-def _normalize(v):
-    return v * (1.0 / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)))
 
 
 def trace_chunk(scene: Scene, tp: lf.TriPack, sp: lf.SpherePack, sph_blocks,

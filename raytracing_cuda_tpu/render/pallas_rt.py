@@ -105,7 +105,7 @@ def tri_cluster_pads(T: int, tri_clusters) -> tuple:
     return tuple(_round_up(c, 8) for c in tri_clusters)
 
 
-def pack_scene(scene: Scene, lights: Lights, ambient, tri_clusters=None):
+def pack_scene(scene: Scene, tri_clusters=None):
     """Build the (N_OBJ_PAD, 1, N_CHANNELS) coefficient tensor.
 
     Slot 0 is the sea plane, then the triangle clusters (each padded to a
@@ -757,7 +757,7 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     counts, e.g. (58, 48) = island+trees / mountains). Each cluster gets a
     bounding sphere and per-tile interval culling in the kernel; None treats
     all triangles as one cluster."""
-    coef = pack_scene(scene, lights, ambient, tri_clusters)
+    coef = pack_scene(scene, tri_clusters)
     params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1])
     bounds = tri_cluster_bounds(scene, tri_clusters).reshape(-1)
     params = jax.lax.dynamic_update_slice(params, bounds, (P_CLUSTERS,))

@@ -165,7 +165,6 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     from raytracing_cuda_tpu.scene.textures import blend_sky, pack_sky
     from raytracing_cuda_tpu.sim.actions import Action
     from raytracing_cuda_tpu.sim.state import camera_rays, derive_frame
-    from raytracing_cuda_tpu.core.math3d import PI
 
     if aspect is None:
         aspect = width / height
@@ -191,7 +190,7 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     scene_fs, lights, ambients = jax.vmap(derive_frame, (None, 0))(scene, states)
     rays = jax.vmap(camera_rays, (0, None))(states.cam, aspect)
     coefs = jax.vmap(functools.partial(pack_scene, tri_clusters=tri_clusters))(
-        scene_fs, lights, ambients)
+        scene_fs)
     params = jax.vmap(pack_params)(rays, lights, ambients,
                                    scene_fs.plane_pos[:, 1])
     bounds = tri_cluster_bounds(scene, tri_clusters).reshape(-1)  # static geometry
@@ -211,17 +210,13 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     r, g, b, mw, mdx, mdy, mdz = planes
 
     # 4. deferred sky: per-frame equirect lookup into the per-frame packed
-    # skies (one flat gather over the stacked planes)
+    # skies (sample_sky_packed vmapped over frames)
+    from raytracing_cuda_tpu.scene.textures import sample_sky_packed
+
     sh, sw = sky_texels.shape[1], sky_texels.shape[2]
-    day_frac = (states.day_time / 24.0)[:, None, None]
-    y = 1.0 - (jnp.arcsin(jnp.clip(mdy, -1.0, 1.0)) + PI / 2.0) / PI
-    x = jnp.mod((jnp.arctan2(mdx, mdz) + PI) / (2.0 * PI) + day_frac, 1.0)
-    ix = jnp.clip((x * sw).astype(jnp.int32), 0, sw - 1)
-    iy = jnp.clip((y * sh).astype(jnp.int32), 0, sh - 1)
-    fidx = jax.lax.broadcasted_iota(jnp.int32, ix.shape, 0)
-    texel = packs.reshape(-1)[(fidx * (sh * sw)) + iy * sw + ix]
-    sky = jnp.stack([texel & 0xFF, (texel >> 8) & 0xFF, (texel >> 16) & 0xFF],
-                    axis=-1).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
+    sky = jax.vmap(sample_sky_packed, in_axes=(0, None, None, 0, 0))(
+        packs, sh, sw, mdir, states.day_time / 24.0)
     base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
 
     # 5. FXAA per frame (vmapped; runtime aa flags select per frame)

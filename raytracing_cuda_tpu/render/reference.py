@@ -31,13 +31,11 @@ from raytracing_cuda_tpu.core.types import SPHERE, CameraRays, Lights, Scene
 from raytracing_cuda_tpu.ops.intersect import nearest_hit, occluded
 from raytracing_cuda_tpu.scene.textures import sample_sky
 
+from raytracing_cuda_tpu.core.math3d import normalize as _normalize
+
 f32 = jnp.float32
 
 MAX_DEPTH = 4  # kernel.cu:11 — bounces run depths 0..MAX_DEPTH inclusive
-
-
-def _normalize(v):
-    return v * (1.0 / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)))
 
 
 def primary_rays(cam: CameraRays, height: int, width: int,

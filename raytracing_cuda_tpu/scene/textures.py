@@ -74,7 +74,10 @@ def load_reference_skies(path: str = REFERENCE_BACKGROUNDS, downsample: int = 1,
     downsample=k point-samples every k-th texel (preserving nearest-sampling
     character). Decoded arrays are cached under assets/cache/.
     """
-    cache_file = os.path.join(CACHE_DIR, f"skies_ds{downsample}.npz")
+    import hashlib
+
+    path_tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+    cache_file = os.path.join(CACHE_DIR, f"skies_{path_tag}_ds{downsample}.npz")
     if cache and os.path.exists(cache_file):
         return np.load(cache_file)["texels"]
 

@@ -30,10 +30,6 @@ class RenderConfig:
     # untouched camera renders with 1.7777 regardless of resolution. Set
     # aspect=1.7777 to reproduce that quirk for CUDA-frame comparisons.
 
-    @property
-    def resolved_aspect(self) -> float:
-        return self.aspect if self.aspect is not None else self.width / self.height
-
     def resolved_path(self, backend: str | None = None) -> str:
         if self.path != "auto":
             return self.path
