@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--no-aa", action="store_true")
     ap.add_argument("--gif", default=None,
                     help="record: also assemble frames into an animated GIF")
+    ap.add_argument("--device", type=int, default=None,
+                    help="device index (the reference's -device=N flag, "
+                         "main.cpp:391)")
     args = ap.parse_args(argv)
 
     # this environment's sitecustomize may import jax (consuming JAX_PLATFORMS)
@@ -57,6 +60,11 @@ def main(argv=None):
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
+
+    if args.device is not None:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices()[args.device])
 
     if args.command == "window":
         from raytracing_cuda_tpu.app.window import run_window
