@@ -73,3 +73,15 @@ def test_sharded_pallas_matches_single_chip(setup):
         scene, st, sky, mesh=mesh, height=H, width=W,
         path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS))
     assert np.array_equal(single, sharded)
+
+
+def test_engine_sharded_smoke():
+    """Engine(sharded=True) renders through the mesh path end-to-end."""
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    eng = Engine(RenderConfig(width=128, height=64, sky_source="procedural",
+                              procedural_sky_shape=(32, 64), path="fast",
+                              chunk=2048), sharded=True)
+    img = eng.frame_np()
+    assert img.shape == (64, 128, 3) and img.dtype == np.uint8
