@@ -90,7 +90,9 @@ def main():
         return (time.perf_counter() - t0) / n
 
     if not args.skip_configs:
-        # 1. Mountains, fixed camera, 640x480, no FXAA — single-frame latency
+        # 1. Mountains, fixed camera, 640x480, no FXAA — per-frame render
+        # time (pipelined over 10 frames; a single synced frame would be
+        # dominated by the remote tunnel's ~28 ms round trip)
         eng_small = Engine(RenderConfig(width=640, height=480, chunk=args.chunk,
                                         sky_source=args.sky,
                                         sky_downsample=args.sky_downsample,
@@ -99,8 +101,12 @@ def main():
         eng_small.set_state(preset_state(day=14.0, cam_preset=1, aa=False))
         _sync(eng_small.frame())
         t0 = time.perf_counter()
-        _sync(eng_small.frame())
-        details["mountains_640x480_noaa_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+        img = None
+        for _ in range(10):
+            img = eng_small.frame()
+        _sync(img)
+        details["mountains_640x480_noaa_ms"] = round(
+            (time.perf_counter() - t0) / 10 * 1e3, 2)
         del eng_small
 
         # 2. Frozen island sea-level sweep
