@@ -59,6 +59,12 @@ class Engine:
 
         if path == "pallas" and c.sky_cache:
             from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+            from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
+                                                            sky_cache_init)
+
+            sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
+            sky_grouped = (c.sky_mode == "grouped"
+                           or (c.sky_mode == "auto" and grouped_sky_ok(sh, sw)))
 
             def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
                 state = sim.animate(state, Action.unpack(action_vec),
@@ -66,14 +72,13 @@ class Engine:
                 img, cvars, cpacked = render_frame_cached_sky(
                     scene, state, sky_texels, cvars, cpacked,
                     c.height, c.width, aspect=c.aspect,
-                    tri_clusters=self.tri_clusters)
+                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped)
                 return state, img, cvars, cpacked
 
             # NaN sentinel forces the first frame to blend; afterwards the
             # 4-panorama blend+pack only reruns during day/night crossfades
-            self._cached_vars = jnp.full((4,), jnp.nan, jnp.float32)
-            self._cached_packed = jnp.zeros(
-                (self.sky_texels.shape[1] * self.sky_texels.shape[2],), jnp.int32)
+            self._cached_vars, self._cached_packed = sky_cache_init(
+                self.sky_texels, grouped=sky_grouped)
         else:
             def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
                 state = sim.animate(state, Action.unpack(action_vec),

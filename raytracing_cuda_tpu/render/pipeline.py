@@ -70,21 +70,29 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
 
 def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
                  day_frac, height, width, interpret=False,
-                 tri_clusters=None):
+                 tri_clusters=None, sky_grouped=False):
     """Megakernel + deferred sky resolve from a pre-packed sky plane.
 
     Split out so callers that cache the packed sky across frames (the sky
     blend weights are constant outside the 2 h crossfade windows,
-    scene.cpp:778-804) can skip the 4-panorama blend entirely."""
+    scene.cpp:778-804) can skip the 4-panorama blend entirely. With
+    sky_grouped, packed_sky is a pack_sky_phases plane and the resolve pays
+    one gather per 8 pixels instead of one per pixel (see
+    scene/textures.py's grouped-resolve notes)."""
     from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
     from raytracing_cuda_tpu.render.reference import quantize
-    from raytracing_cuda_tpu.scene.textures import sample_sky_packed
+    from raytracing_cuda_tpu.scene.textures import (sample_sky_grouped,
+                                                    sample_sky_packed)
 
     r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
         scene_f, lights, ambient, rays, height, width, interpret=interpret,
         tri_clusters=tri_clusters)
     mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
-    sky = sample_sky_packed(packed_sky, sky_h, sky_w, mdir, day_frac)
+    if sky_grouped:
+        sky = sample_sky_grouped(packed_sky, sky_h, sky_w, mdir, day_frac,
+                                 valid=mw > 0)
+    else:
+        sky = sample_sky_packed(packed_sky, sky_h, sky_w, mdir, day_frac)
     return quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
 
 
@@ -93,18 +101,29 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
                             height: int, width: int,
                             aspect: float | None = None,
                             fxaa_static: bool | None = None,
-                            tri_clusters: tuple | None = None):
+                            tri_clusters: tuple | None = None,
+                            sky_grouped: bool | None = None,
+                            interpret: bool = False):
     """Pallas-path render that reuses a cached pre-blended sky.
 
     Returns (image, new_cached_vars, new_cached_packed). The 4-panorama
     blend+pack (a full sweep over every sky texel) only reruns when the
     frame's sky_vars differ from the cached ones — i.e. during the 2 h
     day/night crossfades; in the pure bands it is skipped entirely.
+
+    sky_grouped selects the grouped sky resolve; cached_packed must then be
+    a pack_sky_phases plane (2-D). Default: inferred from cached_packed's
+    rank (see textures.sky_cache_init).
     """
-    from raytracing_cuda_tpu.scene.textures import blend_sky, pack_sky
+    from raytracing_cuda_tpu.scene.textures import (blend_sky, pack_sky,
+                                                    pack_sky_phases)
 
     if aspect is None:
         aspect = width / height
+    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
+    if sky_grouped is None:
+        sky_grouped = cached_packed.ndim == 2
+    pack = pack_sky_phases if sky_grouped else pack_sky
     scene_f, lights, ambient = derive_frame(scene, state)
     rays = camera_rays(state.cam, aspect)
     day_frac = state.day_time / 24.0
@@ -112,13 +131,13 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
     changed = jnp.any(state.sky_vars != cached_vars)
     packed = jax.lax.cond(
         changed,
-        lambda _: pack_sky(blend_sky(sky_texels, state.sky_vars)),
+        lambda _: pack(blend_sky(sky_texels, state.sky_vars)),
         lambda _: cached_packed,
         None)
 
-    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
     base = _pallas_base(scene_f, lights, ambient, rays, packed, sh, sw,
-                        day_frac, height, width, tri_clusters=tri_clusters)
+                        day_frac, height, width, tri_clusters=tri_clusters,
+                        sky_grouped=sky_grouped, interpret=interpret)
     if fxaa_static is None:
         img = apply_fxaa(base, state.aa)
     elif fxaa_static:
@@ -162,12 +181,16 @@ def render_frames_batch(scene: Scene, state, sky_texels,
         N_PARAMS, P_CLUSTERS, _round_up, pack_params, pack_scene,
         raytrace_planes_batch, tri_cluster_bounds, tri_cluster_pads)
     from raytracing_cuda_tpu.render.reference import quantize
-    from raytracing_cuda_tpu.scene.textures import blend_sky, pack_sky
+    from raytracing_cuda_tpu.scene.textures import (blend_sky, pack_sky,
+                                                    pack_sky_phases)
     from raytracing_cuda_tpu.sim.actions import Action
     from raytracing_cuda_tpu.sim.state import camera_rays, derive_frame
 
     if aspect is None:
         aspect = width / height
+    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
+    sky_grouped = cached_packed.ndim == 2   # see textures.sky_cache_init
+    pack = pack_sky_phases if sky_grouped else pack_sky
 
     # 1. pre-scan: state machine + per-frame cached sky
     def pre(carry, av):
@@ -176,7 +199,7 @@ def render_frames_batch(scene: Scene, state, sky_texels,
         changed = jnp.any(st.sky_vars != cvars)
         packed = jax.lax.cond(
             changed,
-            lambda _: pack_sky(blend_sky(sky_texels, st.sky_vars)),
+            lambda _: pack(blend_sky(sky_texels, st.sky_vars)),
             lambda _: cpacked, None)
         return (st, st.sky_vars, packed), (st, packed)
 
@@ -210,13 +233,18 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     r, g, b, mw, mdx, mdy, mdz = planes
 
     # 4. deferred sky: per-frame equirect lookup into the per-frame packed
-    # skies (sample_sky_packed vmapped over frames)
-    from raytracing_cuda_tpu.scene.textures import sample_sky_packed
+    # skies (grouped resolve when the sky shape allows, vmapped over frames)
+    from raytracing_cuda_tpu.scene.textures import (sample_sky_grouped,
+                                                    sample_sky_packed)
 
-    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
     mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
-    sky = jax.vmap(sample_sky_packed, in_axes=(0, None, None, 0, 0))(
-        packs, sh, sw, mdir, states.day_time / 24.0)
+    if sky_grouped:
+        sky = jax.vmap(
+            lambda p, d, df, v: sample_sky_grouped(p, sh, sw, d, df, valid=v)
+        )(packs, mdir, states.day_time / 24.0, mw > 0)
+    else:
+        sky = jax.vmap(sample_sky_packed, in_axes=(0, None, None, 0, 0))(
+            packs, sh, sw, mdir, states.day_time / 24.0)
     base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
 
     # 5. FXAA per frame (vmapped; runtime aa flags select per frame)

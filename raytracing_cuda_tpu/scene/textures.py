@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,11 +156,210 @@ def pack_sky(blended):
 
 def sample_sky_packed(packed, h, w, d, day_frac):
     """Equirect lookup (kernel.cu:156-163) on a pack_sky plane → (..., 3) f32."""
-    y = 1.0 - (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + PI / 2.0) / PI
-    x = jnp.mod((jnp.arctan2(d[..., 0], d[..., 2]) + PI) / (2.0 * PI) + day_frac, 1.0)
-    ix = jnp.clip((x * w).astype(jnp.int32), 0, w - 1)
-    iy = jnp.clip((y * h).astype(jnp.int32), 0, h - 1)
+    iy, ix = _equirect_indices(h, w, d, day_frac)
     texel = packed[iy * w + ix]
     rgb = jnp.stack([texel & 0xFF, (texel >> 8) & 0xFF, (texel >> 16) & 0xFF],
                     axis=-1)
     return rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
+
+def _equirect_indices(h, w, d, day_frac):
+    """Shared equirect index math (kernel.cu:156-163): direction → (iy, ix)."""
+    y = 1.0 - (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + PI / 2.0) / PI
+    x = jnp.mod((jnp.arctan2(d[..., 0], d[..., 2]) + PI) / (2.0 * PI) + day_frac, 1.0)
+    ix = jnp.clip((x * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip((y * h).astype(jnp.int32), 0, h - 1)
+    return iy, ix
+
+
+# --- grouped sky resolve -----------------------------------------------------
+#
+# XLA's TPU gather pays per *index* (~10 ns each on the bench chip), so the
+# per-pixel sky lookup costs ~9 ms/frame at 720p no matter how the texels are
+# packed. But adjacent pixels want adjacent texels: primary (and flat-mirror)
+# miss directions drift by <1 texel per pixel at the reference FOV. The
+# grouped resolve exploits that with one gather per GROUP of 8 pixels:
+#
+#   * the packed sky is stored as FOUR half-tile-shifted copies, each tiled
+#     into (4, 32)-texel tiles flattened to 128-lane rows — the one gather
+#     shape Mosaic/XLA lowers to fast row fetches;
+#   * per group, a robust (masked-median-anchored) min picks the tile and the
+#     phase whose alignment covers the group's texel window;
+#   * each pixel one-hot selects its texel from the 128 fetched — VPU work,
+#     no gather.
+#
+# Pixels whose texel falls outside the group window (incoherent reflections
+# at silhouettes, ~<1% of sky pixels in practice) clamp to the nearest texel
+# in the window — bounded by the neighbouring-texel difference, far inside
+# the RMSE parity gates. Hit pixels (valid=False) are excluded from the
+# anchor so they cannot poison a group; their sky value is multiplied by a
+# zero miss-weight downstream. Exactness on covered pixels and coverage are
+# pinned by tests/test_textures.py.
+
+SKY_TILE_Y = 4
+SKY_TILE_X = 32
+SKY_GROUP = 8
+
+
+def grouped_sky_ok(h: int, w: int) -> bool:
+    """Can the (h, w) sky use the grouped resolve? (tile divisibility)."""
+    return h % SKY_TILE_Y == 0 and w % SKY_TILE_X == 0 and w >= 2 * SKY_TILE_X
+
+
+def pack_sky_phases(blended):
+    """Pack a blended (H, W, 3) uint8 sky into 4 phase-shifted tile planes.
+
+    Returns (4 * (H/4) * (W/32), 128) int32: phase (py, px) is the packed sky
+    rolled up/left by half a tile in y/x then cut into (4, 32) tiles, each
+    flattened row-major to one 128-lane row. Any aligned half-tile start maps
+    to one row of exactly one phase, so a coherent group needs ONE gather.
+    """
+    b32 = blended.astype(jnp.int32)
+    p2d = b32[..., 0] | (b32[..., 1] << 8) | (b32[..., 2] << 16)
+    h, w = p2d.shape
+    nty, ntx = h // SKY_TILE_Y, w // SKY_TILE_X
+    hy, hx = SKY_TILE_Y // 2, SKY_TILE_X // 2
+    copies = []
+    for py in (0, 1):
+        ry = jnp.roll(p2d, -py * hy, axis=0) if py else p2d
+        for px in (0, 1):
+            r = jnp.roll(ry, -px * hx, axis=1) if px else ry
+            copies.append(
+                r.reshape(nty, SKY_TILE_Y, ntx, SKY_TILE_X)
+                .transpose(0, 2, 1, 3)
+                .reshape(nty * ntx, SKY_TILE_Y * SKY_TILE_X))
+    return jnp.concatenate(copies, axis=0)
+
+
+def sky_cache_init(sky_texels, grouped: bool | None = None):
+    """Initial (cached_vars, cached_packed) for the cached-sky render paths.
+
+    cached_vars starts as NaN so the first frame always blends; cached_packed
+    is shaped for the grouped resolve when the sky shape supports it (or as
+    the flat pack_sky plane otherwise / when grouped=False is forced).
+    """
+    h, w = sky_texels.shape[1], sky_texels.shape[2]
+    if grouped is None:
+        grouped = grouped_sky_ok(h, w)
+    vars0 = jnp.full((4,), jnp.nan, jnp.float32)
+    if grouped:
+        packed0 = jnp.zeros(
+            (4 * (h // SKY_TILE_Y) * (w // SKY_TILE_X), SKY_TILE_Y * SKY_TILE_X),
+            jnp.int32)
+    else:
+        packed0 = jnp.zeros((h * w,), jnp.int32)
+    return vars0, packed0
+
+
+def _masked_median(g, valid):
+    """Per-row median of the valid entries of g — an actual element, chosen
+    by rank counting (no sort). g, valid: (N, G) → (N,) int32. Rows with no
+    valid entries return 0 (callers only use them under a zero weight)."""
+    big = jnp.int32(1 << 29)
+    gv = jnp.where(valid, g, big)
+    a = gv[:, :, None]          # candidate j
+    b = gv[:, None, :]          # comparator k
+    pos = jnp.arange(g.shape[1], dtype=jnp.int32)
+    tie = (b == a) & (pos[None, None, :] < pos[None, :, None])
+    rank = jnp.sum(((b < a) | tie).astype(jnp.int32), axis=2)   # (N, G)
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
+    target = jnp.maximum(nvalid - 1, 0) // 2
+    hit = (rank == target[:, None]) & valid
+    return jnp.sum(jnp.where(hit, gv, 0), axis=1)
+
+
+def _grouped_pass(phases, h, w, gy, gx, gv):
+    """One grouped-gather pass: anchor on the valid pixels, fetch one
+    128-texel window per group, select per pixel. Returns (texel f32,
+    covered bool), both (NG, G)."""
+    ty, tx = SKY_TILE_Y, SKY_TILE_X
+    hy, hx = ty // 2, tx // 2
+    nty, ntx = h // ty, w // tx
+    big = jnp.int32(1 << 29)
+
+    # robust anchors: masked median, then unwrap x across the seam
+    ay = _masked_median(gy, gv)[:, None]
+    ax = _masked_median(gx, gv)[:, None]
+    dx = jnp.mod(gx - ax + w // 2, w) - w // 2       # in [-w/2, w/2)
+    gxu = ax + dx
+    inl = gv & (jnp.abs(gy - ay) <= 2 * ty) & (jnp.abs(dx) <= 2 * tx)
+    min_iy = jnp.clip(jnp.min(jnp.where(inl, gy, big), axis=1), 0, h - 1)
+    min_ix = jnp.min(jnp.where(inl, gxu, big), axis=1)
+
+    # half-tile-aligned window start → (phase, tile row, tile col)
+    sy = hy * (min_iy // hy)
+    sx = hx * (min_ix // hx)
+    py = (sy // hy) % 2
+    px = (sx // hx) % 2
+    r = jnp.clip(sy // ty, 0, nty - 1)
+    k = jnp.mod((sx - px * hx) // tx, ntx)
+    tid = (py * 2 + px) * (nty * ntx) + r * ntx + k
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    win = jax.lax.gather(
+        phases, tid[:, None], dn, slice_sizes=(1, ty * tx),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)[:, 0, :]
+
+    oy_raw = gy - sy[:, None]
+    ox_raw = gxu - sx[:, None]
+    covered = (oy_raw >= 0) & (oy_raw < ty) & (ox_raw >= 0) & (ox_raw < tx)
+    off = (jnp.clip(oy_raw, 0, ty - 1) * tx + jnp.clip(ox_raw, 0, tx - 1))
+
+    winf = win.astype(jnp.float32)                    # texels < 2^24: exact
+    sel = (jax.lax.broadcasted_iota(jnp.int32, off.shape + (ty * tx,), 2)
+           == off[:, :, None])
+    texel = jnp.sum(jnp.where(sel, winf[:, None, :], 0.0), axis=2)
+    return texel, covered
+
+
+def sample_sky_grouped(phases, h, w, d, day_frac, valid=None,
+                       with_coverage=False):
+    """Grouped equirect sky lookup → (..., 3) f32 in [0, 1].
+
+    Drop-in replacement for sample_sky_packed on a pack_sky_phases plane.
+    valid marks pixels whose sky value matters (miss-weight > 0); invalid
+    pixels never influence group windows and may return arbitrary texels.
+
+    Three passes: each pass re-anchors on the pixels the previous windows
+    missed, so up to three texel clusters per group — e.g. direct sky,
+    mirror-reflected sky, and one divergent bounce interleaved at a
+    silhouette — resolve exactly. Only ≥4-cluster groups (not observed in
+    practice, even at tiny framebuffers where per-pixel ray divergence is
+    extreme) fall back to the nearest fetched texel.
+    """
+    iy, ix = _equirect_indices(h, w, d, day_frac)
+    shape = iy.shape
+    iy = iy.reshape(-1)
+    ix = ix.reshape(-1)
+    n = iy.shape[0]
+    if valid is None:
+        v = jnp.ones((n,), jnp.bool_)
+    else:
+        v = jnp.broadcast_to(valid, shape).reshape(-1)
+    pad = (-n) % SKY_GROUP
+    if pad:
+        iy = jnp.concatenate([iy, jnp.zeros((pad,), jnp.int32)])
+        ix = jnp.concatenate([ix, jnp.zeros((pad,), jnp.int32)])
+        v = jnp.concatenate([v, jnp.zeros((pad,), jnp.bool_)])
+
+    gy = iy.reshape(-1, SKY_GROUP)
+    gx = ix.reshape(-1, SKY_GROUP)
+    gv = v.reshape(-1, SKY_GROUP)
+
+    t1, c1 = _grouped_pass(phases, h, w, gy, gx, gv)
+    t2, c2 = _grouped_pass(phases, h, w, gy, gx, gv & ~c1)
+    t3, c3 = _grouped_pass(phases, h, w, gy, gx, gv & ~c1 & ~c2)
+    texel = jnp.where(c1, t1, jnp.where(c2, t2, t3)).astype(jnp.int32).reshape(-1)
+    covered = c1 | c2 | c3
+    if pad:
+        texel = texel[:n]
+    rgb = jnp.stack([texel & 0xFF, (texel >> 8) & 0xFF, (texel >> 16) & 0xFF],
+                    axis=-1)
+    out = rgb.astype(jnp.float32).reshape(shape + (3,)) * jnp.float32(1.0 / 255.0)
+    if with_coverage:
+        cov = covered.reshape(-1)
+        if pad:
+            cov = cov[:n]
+        return out, cov.reshape(shape)
+    return out

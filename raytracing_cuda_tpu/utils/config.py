@@ -20,6 +20,9 @@ class RenderConfig:
     # 'auto' → the Pallas megakernel on TPU, the fused-XLA fast path elsewhere
     scene: str = "island"       # scene family: 'island' | 'classic'
     sky_cache: bool = True      # reuse the pre-blended sky across frames
+    sky_mode: str = "auto"      # sky resolve: 'grouped' | 'flat' | 'auto'
+    # 'auto' → the grouped (one gather per 8 pixels) resolve when the sky
+    # shape is tile-divisible; 'flat' forces the per-pixel gather.
     antialiasing: bool = True   # FXAA default on (scene.cpp:24)
     sky_source: str = "auto"    # 'reference' | 'procedural' | 'auto'
     sky_downsample: int = 1     # point-sample every k-th sky texel

@@ -138,8 +138,9 @@ def test_batch_render_matches_sequential(scene, sky):
     vecs = jnp.asarray(np.stack([
         Action.idle()._replace(mouse_dx=np.float32(2.0 * i)).pack(1 / 60)
         for i in range(K)]))
-    cv = jnp.full((4,), jnp.nan, jnp.float32)
-    cp = jnp.zeros((sky.shape[1] * sky.shape[2],), jnp.int32)
+    from raytracing_cuda_tpu.scene.textures import sky_cache_init
+
+    cv, cp = sky_cache_init(sky)
     imgs, _, _, _ = render_frames_batch(
         scene, st0, sky, cv, cp, vecs, H, W,
         tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
@@ -152,3 +153,28 @@ def test_batch_render_matches_sequential(scene, sky):
                                       path="oracle"), np.float32)
         diff = np.abs(imgs[i] - ref)
         assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3, f"frame {i}"
+
+
+def test_cached_sky_grouped_matches_oracle(scene, sky):
+    """The Engine's hot path (render_frame_cached_sky with the grouped sky
+    resolve) must match the oracle frame-for-frame, including across a sky
+    crossfade (cache invalidation) and camera motion."""
+    from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+    from raytracing_cuda_tpu.scene.textures import sky_cache_init
+
+    cv, cp = sky_cache_init(sky)
+    assert cp.ndim == 2   # grouped mode selected for this sky shape
+    st = sim.settle(sim.init_state()._replace(day_time=jnp.float32(8.9)))
+    for i in range(3):
+        st = sim.animate(
+            st, Action.idle()._replace(mouse_dx=np.float32(4.0 * i)),
+            jnp.float32(0.25))  # big dt: crosses the 9-10h crossfade
+        img, cv, cp = render_frame_cached_sky(
+            scene, st, sky, cv, cp, H, W,
+            tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
+        ref = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                      path="oracle"), np.float32)
+        diff = np.abs(np.asarray(img, np.float32) - ref)
+        rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+        assert rmse < 2e-3, f"frame {i}: rmse {rmse}"

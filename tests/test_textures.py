@@ -64,3 +64,106 @@ def test_procedural_skies_deterministic():
     b = procedural_skies(16, 32)
     assert np.array_equal(a, b)
     assert a.shape == (4, 16, 32, 3) and a.dtype == np.uint8
+
+
+# --- grouped sky resolve ------------------------------------------------------
+
+
+def _smooth_dirs(h_img, w_img, outlier_frac=0.0, seed=3):
+    """A primary-ray-like smooth direction field with optional incoherent
+    outliers (stand-ins for divergent reflection misses at silhouettes)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(-0.4, 0.5, h_img),
+                         np.linspace(-0.9, 0.9, w_img), indexing="ij")
+    d = np.stack([np.sin(xx), yy, np.cos(xx)], axis=-1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    if outlier_frac:
+        m = rng.random((h_img, w_img)) < outlier_frac
+        r = rng.normal(size=(h_img, w_img, 3)).astype(np.float32)
+        r /= np.linalg.norm(r, axis=-1, keepdims=True)
+        d = np.where(m[..., None], r, d)
+    return jnp.asarray(d)
+
+
+def test_grouped_resolve_exact_on_covered():
+    """Covered pixels must return the IDENTICAL texel as the flat per-pixel
+    gather, at several day fractions (sky rotation crosses the x seam)."""
+    from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
+                                                    pack_sky_phases,
+                                                    sample_sky_grouped)
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 128
+    assert grouped_sky_ok(H, W)
+    blended = jnp.asarray(rng.integers(0, 256, (H, W, 3)).astype(np.uint8))
+    packed = pack_sky(blended)
+    phases = pack_sky_phases(blended)
+    d = _smooth_dirs(33, 57, outlier_frac=0.02)    # odd sizes exercise padding
+    valid = jnp.asarray(rng.random((33, 57)) > 0.3)
+    for day_frac in (0.0, 0.37, 0.93):
+        ref = np.asarray(sample_sky_packed(packed, H, W, d, day_frac))
+        got, cov = sample_sky_grouped(phases, H, W, d, day_frac,
+                                      valid=valid, with_coverage=True)
+        got, cov = np.asarray(got), np.asarray(cov)
+        m = cov & np.asarray(valid)
+        assert m.mean() > 0.5
+        assert np.array_equal(got[m], ref[m])
+
+
+def test_grouped_resolve_coherent_field_fully_covered():
+    """A dense primary-ray field (many pixels per texel, no outliers) must be
+    100% covered — the grouped path is then bit-exact with the flat path."""
+    from raytracing_cuda_tpu.scene.textures import (pack_sky_phases,
+                                                    sample_sky_grouped)
+
+    rng = np.random.default_rng(7)
+    H, W = 64, 128
+    blended = jnp.asarray(rng.integers(0, 256, (H, W, 3)).astype(np.uint8))
+    packed = pack_sky(blended)
+    phases = pack_sky_phases(blended)
+    # 128 pixels across 0.5 rad of yaw → ~0.08 texel/pixel at this sky size
+    yy, xx = np.meshgrid(np.linspace(0.1, 0.25, 48),
+                         np.linspace(1.2, 1.7, 128), indexing="ij")
+    d = np.stack([np.sin(xx), yy, np.cos(xx)], axis=-1).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    ref = np.asarray(sample_sky_packed(packed, H, W, d, 0.11))
+    got, cov = sample_sky_grouped(phases, H, W, d, 0.11, with_coverage=True)
+    assert np.asarray(cov).all()
+    assert np.array_equal(np.asarray(got), ref)
+
+
+def test_grouped_resolve_invalid_pixels_cannot_poison_groups():
+    """Hit pixels (valid=False) carry meaningless directions; interleaving
+    them densely must not perturb the valid pixels' texels."""
+    from raytracing_cuda_tpu.scene.textures import (pack_sky_phases,
+                                                    sample_sky_grouped)
+
+    rng = np.random.default_rng(9)
+    H, W = 64, 128
+    blended = jnp.asarray(rng.integers(0, 256, (H, W, 3)).astype(np.uint8))
+    packed = pack_sky(blended)
+    phases = pack_sky_phases(blended)
+    d = np.asarray(_smooth_dirs(16, 64))
+    valid = rng.random((16, 64)) > 0.5
+    junk = rng.normal(size=d.shape).astype(np.float32)
+    junk /= np.linalg.norm(junk, axis=-1, keepdims=True)
+    d_poisoned = jnp.asarray(np.where(valid[..., None], d, junk))
+    ref = np.asarray(sample_sky_packed(packed, H, W, jnp.asarray(d), 0.2))
+    got, cov = sample_sky_grouped(phases, H, W, d_poisoned, 0.2,
+                                  valid=jnp.asarray(valid), with_coverage=True)
+    m = np.asarray(cov) & valid
+    assert m.sum() > 0.9 * valid.sum()
+    assert np.array_equal(np.asarray(got)[m], ref[m])
+
+
+def test_sky_cache_init_shapes():
+    from raytracing_cuda_tpu.scene.textures import (SKY_TILE_X, SKY_TILE_Y,
+                                                    sky_cache_init)
+
+    tex = procedural_skies(64, 128)
+    cv, cp = sky_cache_init(jnp.asarray(tex))
+    assert cp.shape == (4 * (64 // SKY_TILE_Y) * (128 // SKY_TILE_X),
+                        SKY_TILE_Y * SKY_TILE_X)
+    assert np.isnan(np.asarray(cv)).all()
+    cv2, cp2 = sky_cache_init(jnp.asarray(tex), grouped=False)
+    assert cp2.shape == (64 * 128,)
