@@ -79,6 +79,16 @@ class Engine:
             # 4-panorama blend+pack only reruns during day/night crossfades
             self._cached_vars, self._cached_packed = sky_cache_init(
                 self.sky_texels, grouped=sky_grouped)
+
+            # render-only variant (no state advance) for frame(): same cached
+            # sky + grouped resolve as the fused step
+            def _render_cached(scene, state, sky_texels, cvars, cpacked):
+                return render_frame_cached_sky(
+                    scene, state, sky_texels, cvars, cpacked,
+                    c.height, c.width, aspect=c.aspect,
+                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped)
+
+            self._render_cached = jax.jit(_render_cached)
         else:
             def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
                 state = sim.animate(state, Action.unpack(action_vec),
@@ -91,6 +101,7 @@ class Engine:
 
             self._cached_vars = jnp.zeros((0,), jnp.float32)
             self._cached_packed = jnp.zeros((0,), jnp.int32)
+            self._render_cached = None
 
         # one device dispatch per frame: state step + render fused
         self._step_render = jax.jit(_step_render)
@@ -163,6 +174,11 @@ class Engine:
                 path=self.path,
                 tri_clusters=self.tri_clusters
                 if self.path == "pallas" else None)
+        if self._render_cached is not None:
+            img, self._cached_vars, self._cached_packed = self._render_cached(
+                self.scene, self.state, self.sky_texels,
+                self._cached_vars, self._cached_packed)
+            return img
         return render_frame(self.scene, self.state, self.sky_texels,
                             c.height, c.width, chunk=c.chunk, aspect=c.aspect,
                             path=self.path,
