@@ -65,7 +65,22 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
     day_frac = state.day_time / 24.0
     aa = state.aa if fxaa_static is None else jnp.bool_(fxaa_static)
 
-    def shard_fn(scene_f, lights, ambient, blended, rays, day_frac, aa):
+    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
+    if path in ("pallas", "pallas_interpret"):
+        # pack once, replicated — the grouped resolve (one row gather per
+        # 8-pixel group, see scene/textures.py) applies per band unchanged:
+        # groups never cross shard boundaries (bands are whole rows)
+        from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
+                                                        pack_sky,
+                                                        pack_sky_phases)
+
+        sky_grouped = grouped_sky_ok(sh, sw)
+        packed = (pack_sky_phases if sky_grouped else pack_sky)(blended)
+    else:
+        sky_grouped = False
+        packed = blended
+
+    def shard_fn(scene_f, lights, ambient, packed, rays, day_frac, aa):
         idx = jax.lax.axis_index(AXIS)
         row0 = idx * band
         if path in ("pallas", "pallas_interpret"):
@@ -76,8 +91,8 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
             from raytracing_cuda_tpu.render.pallas_rt import (
                 render_base_planes_pallas)
             from raytracing_cuda_tpu.render.reference import quantize
-            from raytracing_cuda_tpu.scene.textures import (pack_sky,
-                                                            sample_sky_packed)
+            from raytracing_cuda_tpu.scene.textures import (
+                sample_sky_grouped, sample_sky_packed)
 
             def band_at(k):
                 def fn(_):
@@ -91,11 +106,14 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
             planes = jax.lax.switch(idx, [band_at(k) for k in range(n)], None)
             r, g, b, mw, mdx, mdy, mdz = planes
             mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
-            sh, sw = blended.shape[0], blended.shape[1]
-            sky = sample_sky_packed(pack_sky(blended), sh, sw, mdir, day_frac)
+            if sky_grouped:
+                sky = sample_sky_grouped(packed, sh, sw, mdir, day_frac,
+                                         valid=mw > 0)
+            else:
+                sky = sample_sky_packed(packed, sh, sw, mdir, day_frac)
             base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
         else:
-            base = render_base_image_fast(scene_f, lights, ambient, blended,
+            base = render_base_image_fast(scene_f, lights, ambient, packed,
                                           day_frac, rays, band, width,
                                           row0=row0,
                                           total_height=height, chunk=chunk)
@@ -127,4 +145,4 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
         # pcast every carry leaf
         check_vma=False,
     )
-    return fn(scene_f, lights, ambient, blended, rays, day_frac, aa)
+    return fn(scene_f, lights, ambient, packed, rays, day_frac, aa)

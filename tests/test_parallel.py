@@ -61,18 +61,30 @@ def test_indivisible_height_raises(setup):
 
 def test_sharded_pallas_matches_single_chip(setup):
     """Megakernel inside shard_map: band-offset ray generation must make the
-    sharded pallas render bit-identical to the single-chip pallas render."""
+    sharded pallas render bit-identical to the single-chip render of the
+    SAME pipeline (cached-sky + grouped resolve — bands are whole rows, so
+    sky groups and anchors are identical across the two)."""
     scene, sky, st = setup
+    from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
     from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+    from raytracing_cuda_tpu.scene.textures import sky_cache_init
 
     mesh = make_mesh(4)
-    single = np.asarray(render_frame(
-        scene, st, sky, H, W, path="pallas_interpret",
-        tri_clusters=ISLAND_TRI_CLUSTERS))
+    cv, cp = sky_cache_init(sky)
+    single, _, _ = render_frame_cached_sky(
+        scene, st, sky, cv, cp, H, W,
+        tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
     sharded = np.asarray(render_frame_sharded(
         scene, st, sky, mesh=mesh, height=H, width=W,
         path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS))
-    assert np.array_equal(single, sharded)
+    assert np.array_equal(np.asarray(single), sharded)
+
+    # and the flat-resolve single-chip render agrees within the parity gate
+    flat = np.asarray(render_frame(
+        scene, st, sky, H, W, path="pallas_interpret",
+        tri_clusters=ISLAND_TRI_CLUSTERS), np.float32)
+    diff = np.abs(flat - sharded.astype(np.float32))
+    assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
 
 
 def test_engine_sharded_smoke():
