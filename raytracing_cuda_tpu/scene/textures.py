@@ -188,13 +188,14 @@ def _equirect_indices(h, w, d, day_frac):
 #   * each pixel one-hot selects its texel from the 128 fetched — VPU work,
 #     no gather.
 #
-# Pixels whose texel falls outside the group window (incoherent reflections
-# at silhouettes, ~<1% of sky pixels in practice) clamp to the nearest texel
-# in the window — bounded by the neighbouring-texel difference, far inside
-# the RMSE parity gates. Hit pixels (valid=False) are excluded from the
-# anchor so they cannot poison a group; their sky value is multiplied by a
-# zero miss-weight downstream. Exactness on covered pixels and coverage are
-# pinned by tests/test_textures.py.
+# Pixels the first window misses (incoherent reflections at silhouettes)
+# get up to two more passes re-anchored on the leftovers, so ≤3 texel
+# clusters per group resolve exactly; anything beyond clamps to the nearest
+# fetched texel — rare enough to sit far inside the RMSE parity gates.
+# Hit pixels (valid=False) are excluded from the anchors so they cannot
+# poison a group; their sky value is multiplied by a zero miss-weight
+# downstream. Exactness on covered pixels and coverage are pinned by
+# tests/test_textures.py; end-to-end parity by tests/test_render_fast.py.
 
 SKY_TILE_Y = 4
 SKY_TILE_X = 32
