@@ -57,7 +57,7 @@ class Engine:
         c = self.config
         path = self.path
 
-        if path == "pallas" and c.sky_cache:
+        if path in ("pallas", "pallas_interpret") and c.sky_cache:
             from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
             from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
                                                             sky_cache_init)
@@ -65,6 +65,7 @@ class Engine:
             sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
             sky_grouped = (c.sky_mode == "grouped"
                            or (c.sky_mode == "auto" and grouped_sky_ok(sh, sw)))
+            interpret = path == "pallas_interpret"
 
             def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
                 state = sim.animate(state, Action.unpack(action_vec),
@@ -72,7 +73,8 @@ class Engine:
                 img, cvars, cpacked = render_frame_cached_sky(
                     scene, state, sky_texels, cvars, cpacked,
                     c.height, c.width, aspect=c.aspect,
-                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped)
+                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped,
+                    interpret=interpret)
                 return state, img, cvars, cpacked
 
             # NaN sentinel forces the first frame to blend; afterwards the
@@ -86,7 +88,8 @@ class Engine:
                 return render_frame_cached_sky(
                     scene, state, sky_texels, cvars, cpacked,
                     c.height, c.width, aspect=c.aspect,
-                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped)
+                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped,
+                    interpret=interpret)
 
             self._render_cached = jax.jit(_render_cached)
         else:
@@ -173,7 +176,7 @@ class Engine:
                 height=c.height, width=c.width, chunk=c.chunk, aspect=c.aspect,
                 path=self.path,
                 tri_clusters=self.tri_clusters
-                if self.path == "pallas" else None)
+                if self.path.startswith("pallas") else None)
         if self._render_cached is not None:
             img, self._cached_vars, self._cached_packed = self._render_cached(
                 self.scene, self.state, self.sky_texels,
@@ -183,7 +186,7 @@ class Engine:
                             c.height, c.width, chunk=c.chunk, aspect=c.aspect,
                             path=self.path,
                             tri_clusters=self.tri_clusters
-                            if self.path == "pallas" else None)
+                            if self.path.startswith("pallas") else None)
 
     def frame_np(self) -> np.ndarray:
         return np.asarray(self.frame())

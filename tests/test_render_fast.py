@@ -178,3 +178,31 @@ def test_cached_sky_grouped_matches_oracle(scene, sky):
         diff = np.abs(np.asarray(img, np.float32) - ref)
         rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
         assert rmse < 2e-3, f"frame {i}: rmse {rmse}"
+
+
+def test_engine_cached_frame_wiring(scene, sky):
+    """Engine.frame()/step_and_frame() on the cached pallas path (interpret
+    mode on CPU): the render-only and fused-step entries must thread the
+    sky cache correctly and agree with the oracle."""
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    eng = Engine(RenderConfig(width=W, height=H, path="pallas_interpret",
+                              sky_source="procedural",
+                              procedural_sky_shape=(64, 128), chunk=4096))
+    assert eng._render_cached is not None
+    assert eng._cached_packed.ndim == 2    # grouped resolve selected
+
+    img1 = np.asarray(eng.frame(), np.float32)       # render-only entry
+    img2 = np.asarray(eng.frame(), np.float32)       # cache now warm
+    assert np.array_equal(img1, img2)
+    ref = np.asarray(render_frame(eng.scene, eng.state, eng.sky_texels,
+                                  H, W, chunk=4096, path="oracle"), np.float32)
+    diff = np.abs(img1 - ref)
+    assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
+
+    img3 = np.asarray(eng.step_and_frame(None, 1 / 60), np.float32)  # fused
+    ref3 = np.asarray(render_frame(eng.scene, eng.state, eng.sky_texels,
+                                   H, W, chunk=4096, path="oracle"), np.float32)
+    diff = np.abs(img3 - ref3)
+    assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
