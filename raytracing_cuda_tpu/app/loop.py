@@ -29,82 +29,105 @@ from raytracing_cuda_tpu.utils.timing import FrameStats, FrameTimer
 class Engine:
     """Scene + sky + frame state with a jitted render step."""
 
-    def __init__(self, config: RenderConfig | None = None, sharded: bool = False):
+    def __init__(self, config: RenderConfig | None = None, sharded: bool = False,
+                 share_assets_from: "Engine | None" = None):
         from raytracing_cuda_tpu.utils.config import enable_compilation_cache
 
         enable_compilation_cache()
         self.config = config or RenderConfig()
-        self.scene = jax.device_put(build_named_scene(self.config.scene))
-        self.sky = load_skies(self.config.sky_source,
-                              downsample=self.config.sky_downsample,
-                              procedural_shape=self.config.procedural_sky_shape)
-        self.sky_texels = jax.device_put(self.sky.texels)
-        self.state = sim.settle(sim.init_state()._replace(
-            aa=jnp.bool_(self.config.antialiasing)))
-        if self.config.scene == "classic":
-            from raytracing_cuda_tpu.core.types import Camera
+        if share_assets_from is not None:
+            # live-resize path (the reference's reshape, main.cpp:293-306):
+            # reuse the loaded scene/sky and carry the sim state over; only
+            # the jitted programs are rebuilt (recompile per new size)
+            self.scene = share_assets_from.scene
+            self.sky = share_assets_from.sky
+            self.sky_texels = share_assets_from.sky_texels
+            self.state = share_assets_from.state
+        else:
+            self.scene = jax.device_put(build_named_scene(self.config.scene))
+            self.sky = load_skies(self.config.sky_source,
+                                  downsample=self.config.sky_downsample,
+                                  procedural_shape=self.config.procedural_sky_shape)
+            self.sky_texels = jax.device_put(self.sky.texels)
+            self.state = sim.settle(sim.init_state()._replace(
+                aa=jnp.bool_(self.config.antialiasing)))
+            if self.config.scene == "classic":
+                from raytracing_cuda_tpu.core.types import Camera
 
-            cc = CLASSIC_CAMERA
-            self.state = self.state._replace(cam=Camera(
-                pos=jnp.asarray(cc["pos"], jnp.float32),
-                hor_angle=jnp.float32(cc["hor_angle"]),
-                ver_angle=jnp.float32(cc["ver_angle"]),
-                fov=jnp.float32(cc["fov"])))
+                cc = CLASSIC_CAMERA
+                self.state = self.state._replace(cam=Camera(
+                    pos=jnp.asarray(cc["pos"], jnp.float32),
+                    hor_angle=jnp.float32(cc["hor_angle"]),
+                    ver_angle=jnp.float32(cc["ver_angle"]),
+                    fov=jnp.float32(cc["fov"])))
         self.mesh = make_mesh() if sharded else None
         self.path = self.config.resolved_path()
         self.tri_clusters = TRI_CLUSTERS.get(self.config.scene)
         self._animate = jax.jit(sim.animate)
         c = self.config
         path = self.path
+        mesh = self.mesh if (self.mesh is not None and self.mesh.size > 1) else None
+        clusters = self.tri_clusters if path.startswith("pallas") else None
 
-        if path in ("pallas", "pallas_interpret") and c.sky_cache:
-            from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+        # --- unified render fn: (scene, state, sky, cvars, cpacked) →
+        # (img, cvars, cpacked); covers single-chip / sharded, cached / not.
+        # The cached-sky variants keep the 4-panorama blend+pack out of the
+        # per-frame path: a NaN sentinel forces the first frame to blend,
+        # afterwards it only reruns during the 2 h day/night crossfades.
+        use_cache = path.startswith("pallas") and c.sky_cache
+        if use_cache:
             from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
                                                             sky_cache_init)
 
             sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
             sky_grouped = (c.sky_mode == "grouped"
                            or (c.sky_mode == "auto" and grouped_sky_ok(sh, sw)))
-            interpret = path == "pallas_interpret"
-
-            def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
-                state = sim.animate(state, Action.unpack(action_vec),
-                                    Action.unpack_dt(action_vec))
-                img, cvars, cpacked = render_frame_cached_sky(
-                    scene, state, sky_texels, cvars, cpacked,
-                    c.height, c.width, aspect=c.aspect,
-                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped,
-                    interpret=interpret)
-                return state, img, cvars, cpacked
-
-            # NaN sentinel forces the first frame to blend; afterwards the
-            # 4-panorama blend+pack only reruns during day/night crossfades
             self._cached_vars, self._cached_packed = sky_cache_init(
                 self.sky_texels, grouped=sky_grouped)
+        else:
+            sky_grouped = False
+            self._cached_vars = jnp.zeros((0,), jnp.float32)
+            self._cached_packed = jnp.zeros((0,), jnp.int32)
+        interpret = path == "pallas_interpret"
 
-            # render-only variant (no state advance) for frame(): same cached
-            # sky + grouped resolve as the fused step
-            def _render_cached(scene, state, sky_texels, cvars, cpacked):
+        if mesh is not None:
+            sky_mode = ("grouped" if sky_grouped else "flat") \
+                if path.startswith("pallas") else c.sky_mode
+
+            def _render(scene, state, sky_texels, cvars, cpacked):
+                kw = dict(mesh=mesh, height=c.height, width=c.width,
+                          chunk=c.chunk, aspect=c.aspect, path=path,
+                          tri_clusters=clusters, sky_mode=sky_mode)
+                if use_cache:
+                    return render_frame_sharded(
+                        scene, state, sky_texels, cached_vars=cvars,
+                        cached_packed=cpacked, **kw)
+                img = render_frame_sharded(scene, state, sky_texels, **kw)
+                return img, cvars, cpacked
+        elif use_cache:
+            from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+
+            def _render(scene, state, sky_texels, cvars, cpacked):
                 return render_frame_cached_sky(
                     scene, state, sky_texels, cvars, cpacked,
                     c.height, c.width, aspect=c.aspect,
-                    tri_clusters=self.tri_clusters, sky_grouped=sky_grouped,
+                    tri_clusters=clusters, sky_grouped=sky_grouped,
                     interpret=interpret)
-
-            self._render_cached = jax.jit(_render_cached)
         else:
-            def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
-                state = sim.animate(state, Action.unpack(action_vec),
-                                    Action.unpack_dt(action_vec))
+            def _render(scene, state, sky_texels, cvars, cpacked):
                 img = render_frame(scene, state, sky_texels, c.height, c.width,
                                    chunk=c.chunk, aspect=c.aspect, path=path,
-                                   tri_clusters=self.tri_clusters
-                                   if path == "pallas" else None)
-                return state, img, cvars, cpacked
+                                   tri_clusters=clusters)
+                return img, cvars, cpacked
 
-            self._cached_vars = jnp.zeros((0,), jnp.float32)
-            self._cached_packed = jnp.zeros((0,), jnp.int32)
-            self._render_cached = None
+        self._render_only = jax.jit(_render)
+
+        def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
+            state = sim.animate(state, Action.unpack(action_vec),
+                                Action.unpack_dt(action_vec))
+            img, cvars, cpacked = _render(scene, state, sky_texels, cvars,
+                                          cpacked)
+            return state, img, cvars, cpacked
 
         # one device dispatch per frame: state step + render fused
         self._step_render = jax.jit(_step_render)
@@ -159,6 +182,17 @@ class Engine:
                                     vecs))
         return imgs
 
+    def resized(self, width: int, height: int) -> "Engine":
+        """New Engine at a different framebuffer size, sharing loaded assets
+        and carrying the sim state over — the reference's reshape
+        (main.cpp:293-306) minus its resource leak. The jitted programs
+        recompile for the new shapes (cached per size thereafter)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(self.config, width=width, height=height)
+        return Engine(cfg, sharded=self.mesh is not None,
+                      share_assets_from=self)
+
     def set_state(self, state: sim.FrameState):
         self.state = state
 
@@ -169,24 +203,10 @@ class Engine:
 
     def frame(self):
         """Render the current state → (H, W, 3) uint8 device array."""
-        c = self.config
-        if self.mesh is not None and self.mesh.size > 1:
-            return render_frame_sharded(
-                self.scene, self.state, self.sky_texels, mesh=self.mesh,
-                height=c.height, width=c.width, chunk=c.chunk, aspect=c.aspect,
-                path=self.path,
-                tri_clusters=self.tri_clusters
-                if self.path.startswith("pallas") else None)
-        if self._render_cached is not None:
-            img, self._cached_vars, self._cached_packed = self._render_cached(
-                self.scene, self.state, self.sky_texels,
-                self._cached_vars, self._cached_packed)
-            return img
-        return render_frame(self.scene, self.state, self.sky_texels,
-                            c.height, c.width, chunk=c.chunk, aspect=c.aspect,
-                            path=self.path,
-                            tri_clusters=self.tri_clusters
-                            if self.path.startswith("pallas") else None)
+        img, self._cached_vars, self._cached_packed = self._render_only(
+            self.scene, self.state, self.sky_texels,
+            self._cached_vars, self._cached_packed)
+        return img
 
     def frame_np(self) -> np.ndarray:
         return np.asarray(self.frame())

@@ -74,7 +74,8 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
     engine = Engine(config)
 
     pygame.init()
-    screen = pygame.display.set_mode((config.width, config.height))
+    screen = pygame.display.set_mode((config.width, config.height),
+                                     pygame.RESIZABLE)
     pygame.display.set_caption("raytracing_cuda_tpu")
     grab = pygame.display.get_driver() != "dummy"
     if grab:
@@ -96,7 +97,7 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                     running = False
                 elif ev.key == pygame.K_f:     # fullscreen toggle
                     fullscreen = not fullscreen
-                    flags = pygame.FULLSCREEN if fullscreen else 0
+                    flags = pygame.FULLSCREEN if fullscreen else pygame.RESIZABLE
                     screen = pygame.display.set_mode(
                         (config.width, config.height), flags)
                 elif ev.key == pygame.K_F5:
@@ -110,6 +111,14 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                         engine.set_state(load_state("raytracer_state.json"))
                     except FileNotFoundError:
                         pass
+            elif ev.type == pygame.VIDEORESIZE:
+                # live resolution change (reshape, main.cpp:293-306): rebuild
+                # the jitted programs at the new size, keep assets + state
+                w, h = max(ev.w, 2), max(ev.h, 2)
+                if (w, h) != (engine.config.width, engine.config.height):
+                    engine = engine.resized(w, h)
+                    config = engine.config
+                    screen = pygame.display.set_mode((w, h), pygame.RESIZABLE)
 
         now = time.perf_counter()
         dt, last = now - last, now             # updateDelta, main.cpp:255-258

@@ -4,10 +4,17 @@ The reference is strictly single-GPU (SURVEY.md §2 parallelism audit: no
 NCCL/MPI anywhere); its only parallelism is the per-pixel CUDA grid. The
 TPU-native scale-out shards the framebuffer by row bands across an ICI mesh
 with shard_map: the ~5 KB scene and the sky texture are replicated, each
-device raytraces its band (ray generation is positioned by global row
-offset, so shard output is bit-identical to the single-chip render), and the
-FXAA stencil exchanges 1-row halos with neighbor devices via lax.ppermute —
-the only collective in the frame, riding ICI.
+device raytraces its band (ray generation is positioned by a global row
+offset carried in the megakernel's SMEM params vector, so every band runs
+the SAME compiled kernel and shard output is bit-identical to the
+single-chip render), and the FXAA stencil exchanges 1-row halos with
+neighbor devices via lax.ppermute — the only collective in the frame,
+riding ICI.
+
+Like the single-chip engine, the sharded path reuses a cached pre-blended
+sky across frames (the 4-panorama blend only reruns during the 2 h day/night
+crossfades, scene.cpp:778-804) and supports the grouped sky resolve — pass
+(cached_vars, cached_packed) from textures.sky_cache_init to enable.
 """
 
 from __future__ import annotations
@@ -35,22 +42,38 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
+def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str) -> bool:
+    from raytracing_cuda_tpu.scene.textures import grouped_sky_ok
+
+    if not path.startswith("pallas"):
+        return False
+    if sky_mode == "grouped":
+        return True
+    return sky_mode == "auto" and grouped_sky_ok(sh, sw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "chunk", "aspect",
-                     "fxaa_static", "path", "tri_clusters"),
+                     "fxaa_static", "path", "tri_clusters", "sky_mode"),
 )
 def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          mesh: Mesh, height: int, width: int,
                          chunk: int = 32768, aspect: float | None = None,
                          fxaa_static: bool | None = None,
                          path: str = "fast",
-                         tri_clusters: tuple | None = None):
+                         tri_clusters: tuple | None = None,
+                         sky_mode: str = "auto",
+                         cached_vars=None, cached_packed=None):
     """Row-sharded render of one frame → (height, width, 3) uint8.
 
     Output matches render_frame exactly: rays are generated from global row
     coordinates and FXAA sees true neighbor rows through an ICI halo
     exchange instead of band-local padding.
+
+    With (cached_vars, cached_packed) from textures.sky_cache_init the
+    per-frame 4-panorama blend is skipped outside crossfades and the return
+    value becomes (image, new_cached_vars, new_cached_packed).
     """
     n = mesh.shape[AXIS]
     if height % n:
@@ -61,49 +84,50 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
 
     scene_f, lights, ambient = derive_frame(scene, state)
     rays = camera_rays(state.cam, aspect)
-    blended = blend_sky(sky_texels, state.sky_vars)
     day_frac = state.day_time / 24.0
     aa = state.aa if fxaa_static is None else jnp.bool_(fxaa_static)
 
     sh, sw = sky_texels.shape[1], sky_texels.shape[2]
-    if path in ("pallas", "pallas_interpret"):
+    sky_grouped = _resolve_grouped(sky_mode, sh, sw, path)
+    caching = cached_vars is not None
+    if path.startswith("pallas"):
+        from raytracing_cuda_tpu.scene.textures import (pack_sky,
+                                                        pack_sky_phases)
+
         # pack once, replicated — the grouped resolve (one row gather per
         # 8-pixel group, see scene/textures.py) applies per band unchanged:
         # groups never cross shard boundaries (bands are whole rows)
-        from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
-                                                        pack_sky,
-                                                        pack_sky_phases)
-
-        sky_grouped = grouped_sky_ok(sh, sw)
-        packed = (pack_sky_phases if sky_grouped else pack_sky)(blended)
+        pack = pack_sky_phases if sky_grouped else pack_sky
+        if caching:
+            changed = jnp.any(state.sky_vars != cached_vars)
+            packed = jax.lax.cond(
+                changed,
+                lambda _: pack(blend_sky(sky_texels, state.sky_vars)),
+                lambda _: cached_packed,
+                None)
+        else:
+            packed = pack(blend_sky(sky_texels, state.sky_vars))
     else:
-        sky_grouped = False
-        packed = blended
+        packed = blend_sky(sky_texels, state.sky_vars)
 
     def shard_fn(scene_f, lights, ambient, packed, rays, day_frac, aa):
         idx = jax.lax.axis_index(AXIS)
-        row0 = idx * band
-        if path in ("pallas", "pallas_interpret"):
-            # each shard runs the megakernel on its band; ray generation is
-            # positioned by global row so output matches single-chip exactly.
-            # NOTE: row0 must be static inside the kernel, so the band render
-            # switches over the axis index (n is small).
+        row0 = (idx * band).astype(jnp.float32)
+        if path.startswith("pallas"):
+            # each shard runs the ONE compiled megakernel on its band; the
+            # global row offset rides the SMEM params vector, so rays match
+            # the single-chip render exactly without per-band recompiles
             from raytracing_cuda_tpu.render.pallas_rt import (
                 render_base_planes_pallas)
             from raytracing_cuda_tpu.render.reference import quantize
             from raytracing_cuda_tpu.scene.textures import (
                 sample_sky_grouped, sample_sky_packed)
 
-            def band_at(k):
-                def fn(_):
-                    return render_base_planes_pallas(
-                        scene_f, lights, ambient, rays, band, width,
-                        interpret=(path == "pallas_interpret"),
-                        tri_clusters=tri_clusters,
-                        row0=k * band, total_height=height)
-                return fn
-
-            planes = jax.lax.switch(idx, [band_at(k) for k in range(n)], None)
+            planes = render_base_planes_pallas(
+                scene_f, lights, ambient, rays, band, width,
+                interpret=(path == "pallas_interpret"),
+                tri_clusters=tri_clusters,
+                row0=row0, total_height=height)
             r, g, b, mw, mdx, mdy, mdz = planes
             mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
             if sky_grouped:
@@ -115,7 +139,7 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
         else:
             base = render_base_image_fast(scene_f, lights, ambient, packed,
                                           day_frac, rays, band, width,
-                                          row0=row0,
+                                          row0=idx * band,
                                           total_height=height, chunk=chunk)
 
         # 1-row halo exchange with ring neighbors (edge shards receive zeros;
@@ -129,7 +153,7 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
 
         out = jax.lax.cond(
             aa,
-            lambda e: fxaa_ext(e, row0=row0, total_height=height),
+            lambda e: fxaa_ext(e, row0=idx * band, total_height=height),
             lambda e: e[1:-1],
             ext,
         )
@@ -145,4 +169,7 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
         # pcast every carry leaf
         check_vma=False,
     )
-    return fn(scene_f, lights, ambient, packed, rays, day_frac, aa)
+    img = fn(scene_f, lights, ambient, packed, rays, day_frac, aa)
+    if caching:
+        return img, state.sky_vars, packed
+    return img

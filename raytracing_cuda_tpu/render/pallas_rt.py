@@ -88,6 +88,8 @@ P_LCOL1 = 24
 P_LINT = 27          # 27-28 intensities
 P_AMBIENT = 29       # 29-31
 P_SEAY = 32          # sea plane height
+P_ROW0 = 33          # global row offset of this shard's band (f32-exact int;
+                     # lives in SMEM so ONE compiled kernel serves every band)
 P_CLUSTERS = 36      # up to 4 x (cx, cy, cz, r) triangle-cluster bounds
 MAX_CLUSTERS = 4
 N_PARAMS = P_CLUSTERS + 4 * MAX_CLUSTERS
@@ -209,7 +211,7 @@ def tri_cluster_bounds(scene: Scene, tri_clusters=None):
     return jnp.stack(out)
 
 
-def pack_params(cam_rays, lights: Lights, ambient, sea_y):
+def pack_params(cam_rays, lights: Lights, ambient, sea_y, row0=0):
     p = jnp.zeros((N_PARAMS,), f32)
     segs = [
         (P_CAMPOS, cam_rays.pos), (P_LD, cam_rays.LD), (P_RD, cam_rays.RD),
@@ -218,6 +220,7 @@ def pack_params(cam_rays, lights: Lights, ambient, sea_y):
         (P_LCOL0, lights.color[0]), (P_LCOL1, lights.color[1]),
         (P_LINT, lights.intensity), (P_AMBIENT, jnp.asarray(ambient, f32)),
         (P_SEAY, jnp.asarray(sea_y, f32)[None]),
+        (P_ROW0, jnp.asarray(row0, f32)[None]),
     ]
     for off, v in segs:
         p = jax.lax.dynamic_update_slice(p, jnp.asarray(v, f32).reshape(-1), (off,))
@@ -384,7 +387,7 @@ def _sph_plane_occ_partial(Cs, sph_blocks, ox, oy, oz, dx, dy, dz,
     return jnp.where(any_sph | any_pl, 1.0, 0.0)
 
 
-def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None, total_w=None):
+def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -415,13 +418,15 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None, total_w=None
             b = P_CLUSTERS + 4 * kk
             return P[b], P[b + 1], P[b + 2], P[b + 3]
 
-        # --- primary rays (kernel.cu:244-253); row0/total_h address a band
+        # --- primary rays (kernel.cu:244-253); P_ROW0/total_h address a band
         # of a larger framebuffer so multi-chip shards reproduce the exact
-        # single-chip rays ---
+        # single-chip rays (row0 is a dynamic SMEM scalar: one compiled
+        # kernel serves every band; f32 add of small ints is exact) ---
         th_total = H if total_h is None else total_h
         tw_total = W if total_w is None else total_w
-        row = (row0 + i * TH
-               + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+        row = P[P_ROW0] + (
+            i * TH
+            + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
         col = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
         px = col * (1.0 / (tw_total - 1))
         py = row * (1.0 / (th_total - 1))
@@ -694,12 +699,12 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, row0=0, total_h=None, total_w=None
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret", "row0", "total_h",
+    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret", "total_h",
     "total_w"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pad: int, TH: int = 16, TW: int = 256,
                           interpret: bool = False,
-                          row0: int = 0, total_h: int | None = None,
+                          total_h: int | None = None,
                           total_w: int | None = None):
     """Render a BATCH of frames in one launch.
 
@@ -711,7 +716,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
     grid = (K, pl.cdiv(H, TH), pl.cdiv(W, TW))
     out = jax.ShapeDtypeStruct((K, H, W), f32)
     tile = lambda f, i, j: (f, i, j)
-    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad, row0, total_h, total_w)
+    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h, total_w)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -737,11 +742,11 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
 
 def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
                     TH: int = 16, TW: int = 256, interpret: bool = False,
-                    row0: int = 0, total_h: int | None = None,
+                    total_h: int | None = None,
                     total_w: int | None = None):
     """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
     planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
-                                   s_pad, TH, TW, interpret, row0, total_h,
+                                   s_pad, TH, TW, interpret, total_h,
                                    total_w)
     return tuple(p[0] for p in planes)
 
@@ -750,15 +755,17 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               height: int, width: int, tile_h: int = 16,
                               tile_w: int = 256, interpret: bool = False,
                               tri_clusters: tuple | None = None,
-                              row0: int = 0, total_height: int | None = None):
+                              row0=0, total_height: int | None = None):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
 
     tri_clusters: optional static partition of the triangle list (contiguous
     counts, e.g. (58, 48) = island+trees / mountains). Each cluster gets a
     bounding sphere and per-tile interval culling in the kernel; None treats
-    all triangles as one cluster."""
+    all triangles as one cluster. row0 may be a traced scalar (it rides the
+    SMEM params vector), so sharded bands share one compiled kernel."""
     coef = pack_scene(scene, tri_clusters)
-    params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1])
+    params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1],
+                         row0=row0)
     bounds = tri_cluster_bounds(scene, tri_clusters).reshape(-1)
     params = jax.lax.dynamic_update_slice(params, bounds, (P_CLUSTERS,))
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
@@ -768,7 +775,7 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     h_pad = _round_up(height, tile_h)
     w_pad = _round_up(width, tile_w)
     planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pad,
-                             tile_h, tile_w, interpret, row0,
+                             tile_h, tile_w, interpret,
                              total_height if total_height is not None
                              else height, width)
     if (h_pad, w_pad) != (height, width):

@@ -33,6 +33,41 @@ class RenderConfig:
     # untouched camera renders with 1.7777 regardless of resolution. Set
     # aspect=1.7777 to reproduce that quirk for CUDA-frame comparisons.
 
+    _PATHS = ("auto", "pallas", "pallas_interpret", "fast", "oracle")
+    _SCENES = ("island", "classic")
+    _SKY_MODES = ("auto", "grouped", "flat")
+    _SKY_SOURCES = ("auto", "reference", "procedural")
+
+    def __post_init__(self):
+        # fail at construction with a message, not deep inside a jitted
+        # render — the analogue of the reference's checkCudaErrors hygiene
+        if self.width < 2 or self.height < 2:
+            raise ValueError(f"framebuffer must be at least 2x2, got "
+                             f"{self.width}x{self.height}")
+        if self.chunk < 1:
+            raise ValueError(f"chunk must be positive, got {self.chunk}")
+        if self.path not in self._PATHS:
+            raise ValueError(f"path must be one of {self._PATHS}, got "
+                             f"{self.path!r}")
+        if self.scene not in self._SCENES:
+            raise ValueError(f"scene must be one of {self._SCENES}, got "
+                             f"{self.scene!r}")
+        if self.sky_mode not in self._SKY_MODES:
+            raise ValueError(f"sky_mode must be one of {self._SKY_MODES}, "
+                             f"got {self.sky_mode!r}")
+        if self.sky_source not in self._SKY_SOURCES:
+            raise ValueError(f"sky_source must be one of {self._SKY_SOURCES},"
+                             f" got {self.sky_source!r}")
+        if self.sky_downsample < 1:
+            raise ValueError(f"sky_downsample must be >= 1, got "
+                             f"{self.sky_downsample}")
+        if len(self.procedural_sky_shape) != 2 or any(
+                v < 8 for v in self.procedural_sky_shape):
+            raise ValueError(f"procedural_sky_shape must be (h, w) with both "
+                             f">= 8, got {self.procedural_sky_shape!r}")
+        if self.aspect is not None and not self.aspect > 0:
+            raise ValueError(f"aspect must be positive, got {self.aspect}")
+
     def resolved_path(self, backend: str | None = None) -> str:
         if self.path != "auto":
             return self.path

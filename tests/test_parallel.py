@@ -87,6 +87,55 @@ def test_sharded_pallas_matches_single_chip(setup):
     assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
 
 
+def test_sharded_cached_sky_matches_and_traces_one_kernel(setup):
+    """Cached-sky sharded render: identical to the uncached sharded render,
+    returns the cache carry, skips the 4-panorama blend on reuse, and the
+    whole sharded program contains exactly ONE pallas_call (row0 rides the
+    SMEM params vector — no per-band kernel variants)."""
+    scene, sky, st = setup
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+    from raytracing_cuda_tpu.scene.textures import sky_cache_init
+
+    mesh = make_mesh(4)
+    kw = dict(mesh=mesh, height=H, width=W, path="pallas_interpret",
+              tri_clusters=ISLAND_TRI_CLUSTERS)
+    uncached = np.asarray(render_frame_sharded(scene, st, sky, **kw))
+    cv, cp = sky_cache_init(sky)
+    img1, cv1, cp1 = render_frame_sharded(
+        scene, st, sky, cached_vars=cv, cached_packed=cp, **kw)
+    assert np.array_equal(np.asarray(img1), uncached)
+    # second frame reuses the cache (same sky_vars -> no re-blend) exactly
+    img2, cv2, cp2 = render_frame_sharded(
+        scene, st, sky, cached_vars=cv1, cached_packed=cp1, **kw)
+    assert np.array_equal(np.asarray(img2), uncached)
+    assert np.array_equal(np.asarray(cp1), np.asarray(cp2))
+
+    jaxpr = jax.make_jaxpr(
+        lambda sc, s, sk, v, p: render_frame_sharded(
+            sc, s, sk, cached_vars=v, cached_packed=p, **kw)
+    )(scene, st, sky, cv, cp)
+    assert str(jaxpr).count("pallas_call") == 1
+
+
+def test_engine_sharded_cached_fused_step():
+    """Engine(sharded=True) on the pallas path: frame() and the fused
+    step_and_frame/batch run through the mesh with the cached sky."""
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.sim.actions import Action
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    eng = Engine(RenderConfig(width=128, height=64, sky_source="procedural",
+                              procedural_sky_shape=(32, 64),
+                              path="pallas_interpret", chunk=2048),
+                 sharded=True)
+    img = eng.frame_np()
+    assert img.shape == (64, 128, 3) and img.dtype == np.uint8
+    img2 = np.asarray(eng.step_and_frame(Action.idle(), 1 / 60))
+    assert img2.shape == (64, 128, 3)
+    imgs = np.asarray(eng.step_and_frame_batch([Action.idle()] * 2))
+    assert imgs.shape == (2, 64, 128, 3)
+
+
 def test_engine_sharded_smoke():
     """Engine(sharded=True) renders through the mesh path end-to-end."""
     from raytracing_cuda_tpu.app.loop import Engine
