@@ -89,6 +89,7 @@ class Engine:
             self._cached_vars = jnp.zeros((0,), jnp.float32)
             self._cached_packed = jnp.zeros((0,), jnp.int32)
         interpret = path == "pallas_interpret"
+        mxu = c.mxu_sweeps and path.startswith("pallas")
 
         if mesh is not None:
             sky_mode = ("grouped" if sky_grouped else "flat") \
@@ -97,7 +98,7 @@ class Engine:
             def _render(scene, state, sky_texels, cvars, cpacked):
                 kw = dict(mesh=mesh, height=c.height, width=c.width,
                           chunk=c.chunk, aspect=c.aspect, path=path,
-                          tri_clusters=clusters, sky_mode=sky_mode)
+                          tri_clusters=clusters, sky_mode=sky_mode, mxu=mxu)
                 if use_cache:
                     return render_frame_sharded(
                         scene, state, sky_texels, cached_vars=cvars,
@@ -112,12 +113,12 @@ class Engine:
                     scene, state, sky_texels, cvars, cpacked,
                     c.height, c.width, aspect=c.aspect,
                     tri_clusters=clusters, sky_grouped=sky_grouped,
-                    interpret=interpret)
+                    interpret=interpret, mxu=mxu)
         else:
             def _render(scene, state, sky_texels, cvars, cpacked):
                 img = render_frame(scene, state, sky_texels, c.height, c.width,
                                    chunk=c.chunk, aspect=c.aspect, path=path,
-                                   tri_clusters=clusters)
+                                   tri_clusters=clusters, mxu=mxu)
                 return img, cvars, cpacked
 
         self._render_only = jax.jit(_render)

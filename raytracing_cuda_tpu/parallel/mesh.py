@@ -55,7 +55,8 @@ def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "chunk", "aspect",
-                     "fxaa_static", "path", "tri_clusters", "sky_mode"),
+                     "fxaa_static", "path", "tri_clusters", "sky_mode",
+                     "mxu"),
 )
 def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          mesh: Mesh, height: int, width: int,
@@ -64,7 +65,8 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          path: str = "fast",
                          tri_clusters: tuple | None = None,
                          sky_mode: str = "auto",
-                         cached_vars=None, cached_packed=None):
+                         cached_vars=None, cached_packed=None,
+                         mxu: bool = False):
     """Row-sharded render of one frame → (height, width, 3) uint8.
 
     Output matches render_frame exactly: rays are generated from global row
@@ -127,7 +129,7 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                 scene_f, lights, ambient, rays, band, width,
                 interpret=(path == "pallas_interpret"),
                 tri_clusters=tri_clusters,
-                row0=row0, total_height=height)
+                row0=row0, total_height=height, mxu=mxu)
             r, g, b, mw, mdx, mdy, mdz = planes
             mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
             if sky_grouped:

@@ -25,13 +25,14 @@ from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "chunk", "aspect", "fxaa_static",
-                     "path", "tri_clusters"))
+                     "path", "tri_clusters", "mxu"))
 def render_frame(scene: Scene, state: FrameState, sky_texels,
                  height: int, width: int, chunk: int = 32768,
                  aspect: float | None = None,
                  fxaa_static: bool | None = None,
                  path: str = "fast",
-                 tri_clusters: tuple | None = None):
+                 tri_clusters: tuple | None = None,
+                 mxu: bool = False):
     """Render one frame → (height, width, 3) uint8.
 
     aspect defaults to width/height (see RenderConfig.aspect for the
@@ -54,7 +55,7 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
         base = _pallas_base(scene_f, lights, ambient, rays, pack_sky(blended),
                             sh, sw, day_frac, height, width,
                             interpret=(path == "pallas_interpret"),
-                            tri_clusters=tri_clusters)
+                            tri_clusters=tri_clusters, mxu=mxu)
     else:
         render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
         base = render(scene_f, lights, ambient, blended, day_frac,
@@ -70,7 +71,7 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
 
 def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
                  day_frac, height, width, interpret=False,
-                 tri_clusters=None, sky_grouped=False):
+                 tri_clusters=None, sky_grouped=False, mxu=False):
     """Megakernel + deferred sky resolve from a pre-packed sky plane.
 
     Split out so callers that cache the packed sky across frames (the sky
@@ -86,7 +87,7 @@ def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
 
     r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
         scene_f, lights, ambient, rays, height, width, interpret=interpret,
-        tri_clusters=tri_clusters)
+        tri_clusters=tri_clusters, mxu=mxu)
     mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
     if sky_grouped:
         sky = sample_sky_grouped(packed_sky, sky_h, sky_w, mdir, day_frac,
@@ -103,7 +104,8 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
                             fxaa_static: bool | None = None,
                             tri_clusters: tuple | None = None,
                             sky_grouped: bool | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            mxu: bool = False):
     """Pallas-path render that reuses a cached pre-blended sky.
 
     Returns (image, new_cached_vars, new_cached_packed). The 4-panorama
@@ -137,7 +139,7 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
 
     base = _pallas_base(scene_f, lights, ambient, rays, packed, sh, sw,
                         day_frac, height, width, tri_clusters=tri_clusters,
-                        sky_grouped=sky_grouped, interpret=interpret)
+                        sky_grouped=sky_grouped, interpret=interpret, mxu=mxu)
     if fxaa_static is None:
         img = apply_fxaa(base, state.aa)
     elif fxaa_static:
@@ -161,7 +163,8 @@ def render_frames_batch(scene: Scene, state, sky_texels,
                         height: int, width: int,
                         aspect: float | None = None,
                         tri_clusters: tuple | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        mxu: bool = False):
     """Render a whole batch of frames in ONE megakernel launch.
 
     A cheap pre-scan steps the state machine and maintains the cached
@@ -178,8 +181,9 @@ def render_frames_batch(scene: Scene, state, sky_texels,
 
     from raytracing_cuda_tpu.render.fxaa import fxaa
     from raytracing_cuda_tpu.render.pallas_rt import (
-        N_PARAMS, P_CLUSTERS, _round_up, pack_params, pack_scene,
-        raytrace_planes_batch, tri_cluster_bounds, tri_cluster_pads)
+        N_PARAMS, P_CLUSTERS, _round_up, pack_mxu_forms, pack_params,
+        pack_scene, raytrace_planes_batch, tri_cluster_bounds,
+        tri_cluster_pads)
     from raytracing_cuda_tpu.render.reference import quantize
     from raytracing_cuda_tpu.scene.textures import (blend_sky, pack_sky,
                                                     pack_sky_phases)
@@ -225,9 +229,12 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     s_pad = _round_up(scene.n_spheres, 8)
     h_pad = _round_up(height, 16)
     w_pad = _round_up(width, 256)
+    mcoefs = (jax.vmap(functools.partial(
+        pack_mxu_forms, tri_clusters=tri_clusters))(scene_fs)
+        if mxu else None)
     planes = raytrace_planes_batch(
         coefs, params, h_pad, w_pad, t_pads, s_pad, interpret=interpret,
-        total_h=height, total_w=width)
+        total_h=height, total_w=width, mcoefs=mcoefs)
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:, :height, :width] for p in planes)
     r, g, b, mw, mdx, mdy, mdz = planes

@@ -64,3 +64,24 @@ def test_matches_golden(env, name, path):
     mismatched = np.mean(np.any(diff > 2.0, axis=-1))
     assert rmse < 2e-3, f"{name}/{path}: rmse {rmse}"
     assert mismatched < 0.003, f"{name}/{path}: {mismatched:.4%} pixels off"
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_matches_golden_mxu_sweeps(env, name):
+    """The MXU-matmul sweep variant (pallas_rt.pack_mxu_forms) must sit in
+    the same golden gate as the VPU sweeps — identical epsilon semantics,
+    only matmul-order float reassociation differs."""
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+
+    scene, sky = env
+    golden = np.asarray(
+        Image.open(os.path.join(GOLDEN_DIR, f"{name}.png")).convert("RGB"),
+        np.float32)
+    img = np.asarray(
+        render_frame(scene, make_state(**CASES[name]), sky, H, W,
+                     chunk=4096, path="pallas_interpret",
+                     tri_clusters=ISLAND_TRI_CLUSTERS, mxu=True), np.float32)
+    diff = np.abs(img - golden)
+    rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+    assert rmse < 2e-3, f"{name}/mxu: rmse {rmse}"
+    assert np.mean(np.any(diff > 2.0, axis=-1)) < 0.003
