@@ -17,7 +17,8 @@ import numpy as np
 
 from raytracing_cuda_tpu.parallel.mesh import make_mesh, render_frame_sharded
 from raytracing_cuda_tpu.render.pipeline import render_frame
-from raytracing_cuda_tpu.scene.builders import (CLASSIC_CAMERA, TRI_CLUSTERS,
+from raytracing_cuda_tpu.scene.builders import (CLASSIC_CAMERA, SPH_CLUSTERS,
+                                                 TRI_CLUSTERS,
                                                  build_named_scene)
 from raytracing_cuda_tpu.scene.textures import load_skies
 from raytracing_cuda_tpu.sim import state as sim
@@ -63,11 +64,14 @@ class Engine:
         self.mesh = make_mesh() if sharded else None
         self.path = self.config.resolved_path()
         self.tri_clusters = TRI_CLUSTERS.get(self.config.scene)
+        self.sph_clusters = SPH_CLUSTERS.get(self.config.scene)
         self._animate = jax.jit(sim.animate)
         c = self.config
         path = self.path
         mesh = self.mesh if (self.mesh is not None and self.mesh.size > 1) else None
-        clusters = self.tri_clusters if path.startswith("pallas") else None
+        is_pallas = path.startswith("pallas")
+        clusters = self.tri_clusters if is_pallas else None
+        s_clusters = self.sph_clusters if is_pallas else None
 
         # --- unified render fn: (scene, state, sky, cvars, cpacked) →
         # (img, cvars, cpacked); covers single-chip / sharded, cached / not.
@@ -89,7 +93,6 @@ class Engine:
             self._cached_vars = jnp.zeros((0,), jnp.float32)
             self._cached_packed = jnp.zeros((0,), jnp.int32)
         interpret = path == "pallas_interpret"
-        mxu = c.mxu_sweeps and path.startswith("pallas")
 
         if mesh is not None:
             sky_mode = ("grouped" if sky_grouped else "flat") \
@@ -98,7 +101,8 @@ class Engine:
             def _render(scene, state, sky_texels, cvars, cpacked):
                 kw = dict(mesh=mesh, height=c.height, width=c.width,
                           chunk=c.chunk, aspect=c.aspect, path=path,
-                          tri_clusters=clusters, sky_mode=sky_mode, mxu=mxu)
+                          tri_clusters=clusters, sph_clusters=s_clusters,
+                          sky_mode=sky_mode)
                 if use_cache:
                     return render_frame_sharded(
                         scene, state, sky_texels, cached_vars=cvars,
@@ -112,16 +116,21 @@ class Engine:
                 return render_frame_cached_sky(
                     scene, state, sky_texels, cvars, cpacked,
                     c.height, c.width, aspect=c.aspect,
-                    tri_clusters=clusters, sky_grouped=sky_grouped,
-                    interpret=interpret, mxu=mxu)
+                    tri_clusters=clusters, sph_clusters=s_clusters,
+                    sky_grouped=sky_grouped, interpret=interpret)
         else:
             def _render(scene, state, sky_texels, cvars, cpacked):
                 img = render_frame(scene, state, sky_texels, c.height, c.width,
                                    chunk=c.chunk, aspect=c.aspect, path=path,
-                                   tri_clusters=clusters, mxu=mxu)
+                                   tri_clusters=clusters,
+                                   sph_clusters=s_clusters)
                 return img, cvars, cpacked
 
-        self._render_only = jax.jit(_render)
+        # the cached-sky carry (cvars, cpacked — up to 512 MB of packed
+        # panorama at full reference resolution) is donated: the engine
+        # always replaces its references with the outputs, and donation
+        # lets XLA alias the unchanged-sky cond branch instead of copying
+        self._render_only = jax.jit(_render, donate_argnums=(3, 4))
 
         def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
             state = sim.animate(state, Action.unpack(action_vec),
@@ -131,7 +140,7 @@ class Engine:
             return state, img, cvars, cpacked
 
         # one device dispatch per frame: state step + render fused
-        self._step_render = jax.jit(_step_render)
+        self._step_render = jax.jit(_step_render, donate_argnums=(3, 4))
 
         def _step_render_batch(scene, state, sky_texels, cvars, cpacked,
                                action_vecs):
@@ -150,7 +159,8 @@ class Engine:
                 body, (state, cvars, cpacked), action_vecs)
             return state, imgs, cvars, cpacked
 
-        self._step_render_batch = jax.jit(_step_render_batch)
+        self._step_render_batch = jax.jit(_step_render_batch,
+                                          donate_argnums=(3, 4))
 
     # --- state ---
 

@@ -55,8 +55,8 @@ def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "chunk", "aspect",
-                     "fxaa_static", "path", "tri_clusters", "sky_mode",
-                     "mxu"),
+                     "fxaa_static", "path", "tri_clusters", "sph_clusters",
+                     "sky_mode"),
 )
 def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          mesh: Mesh, height: int, width: int,
@@ -64,9 +64,9 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          fxaa_static: bool | None = None,
                          path: str = "fast",
                          tri_clusters: tuple | None = None,
+                         sph_clusters: tuple | None = None,
                          sky_mode: str = "auto",
-                         cached_vars=None, cached_packed=None,
-                         mxu: bool = False):
+                         cached_vars=None, cached_packed=None):
     """Row-sharded render of one frame → (height, width, 3) uint8.
 
     Output matches render_frame exactly: rays are generated from global row
@@ -128,8 +128,8 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
             planes = render_base_planes_pallas(
                 scene_f, lights, ambient, rays, band, width,
                 interpret=(path == "pallas_interpret"),
-                tri_clusters=tri_clusters,
-                row0=row0, total_height=height, mxu=mxu)
+                tri_clusters=tri_clusters, sph_clusters=sph_clusters,
+                row0=row0, total_height=height)
             r, g, b, mw, mdx, mdy, mdz = planes
             mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
             if sky_grouped:

@@ -90,8 +90,8 @@ P_AMBIENT = 29       # 29-31
 P_SEAY = 32          # sea plane height
 P_ROW0 = 33          # global row offset of this shard's band (f32-exact int;
                      # lives in SMEM so ONE compiled kernel serves every band)
-P_CLUSTERS = 36      # up to 4 x (cx, cy, cz, r) triangle-cluster bounds
-MAX_CLUSTERS = 4
+P_CLUSTERS = 36      # up to MAX_CLUSTERS x (cx, cy, cz, r) cluster bounds:
+MAX_CLUSTERS = 10    # triangle clusters first, then sphere clusters
 N_PARAMS = P_CLUSTERS + 4 * MAX_CLUSTERS
 
 
@@ -107,19 +107,34 @@ def tri_cluster_pads(T: int, tri_clusters) -> tuple:
     return tuple(_round_up(c, 8) for c in tri_clusters)
 
 
-def pack_scene(scene: Scene, tri_clusters=None):
+def sph_cluster_norm(S: int, sph_clusters):
+    """Normalize sph_clusters → (counts, pads, occludes) tuples.
+
+    sph_clusters: ((count, occludes_bool), ...) contiguous over the scene's
+    sphere order, or None for one all-occluding cluster. An occludes=False
+    cluster (emissive proxies) is statically skipped by shadow sweeps."""
+    if not sph_clusters:
+        sph_clusters = ((S, True),)
+    counts = tuple(c for c, _ in sph_clusters)
+    assert sum(counts) == S, (sph_clusters, S)
+    return (counts, tuple(_round_up(c, 8) for c in counts),
+            tuple(bool(o) for _, o in sph_clusters))
+
+
+def pack_scene(scene: Scene, tri_clusters=None, sph_clusters=None):
     """Build the (N_OBJ_PAD, 1, N_CHANNELS) coefficient tensor.
 
-    Slot 0 is the sea plane, then the triangle clusters (each padded to a
-    multiple of 8 rows so the kernel can slice them statically), then padded
-    spheres. Tie-break relies only on the C_GIDX channel, so slot order is
-    free. Assembled as one concatenation per segment to keep the per-frame
-    XLA op count low. Runs inside jit each frame.
+    Slot 0 is the sea plane, then the triangle clusters, then the sphere
+    clusters (each cluster padded to a multiple of 8 rows so the kernel can
+    slice them statically). Tie-break relies only on the C_GIDX channel, so
+    slot order is free. Assembled as one concatenation per segment to keep
+    the per-frame XLA op count low. Runs inside jit each frame.
     """
     T, S = scene.n_triangles, scene.n_spheres
     pads = tri_cluster_pads(T, tri_clusters)
     t_pad = sum(pads)
-    s_pad = _round_up(S, 8)
+    s_counts, s_pads, _ = sph_cluster_norm(S, sph_clusters)
+    s_pad = sum(s_pads)
     n_pad = _round_up(1 + t_pad + s_pad, 8)
 
     def col(v):
@@ -177,9 +192,12 @@ def pack_scene(scene: Scene, tri_clusters=None):
         if pad > cnt:
             parts.append(jnp.broadcast_to(pad_row, (pad - cnt, N_CHANNELS)))
         off += cnt
-    parts.append(sph_rows)
-    if s_pad > S:
-        parts.append(jnp.broadcast_to(pad_row, (s_pad - S, N_CHANNELS)))
+    off = 0
+    for cnt, pad in zip(s_counts, s_pads):
+        parts.append(sph_rows[off:off + cnt])
+        if pad > cnt:
+            parts.append(jnp.broadcast_to(pad_row, (pad - cnt, N_CHANNELS)))
+        off += cnt
     tail = n_pad - 1 - t_pad - s_pad
     if tail:
         parts.append(jnp.broadcast_to(pad_row, (tail, N_CHANNELS)))
@@ -187,87 +205,13 @@ def pack_scene(scene: Scene, tri_clusters=None):
     return rows[:, None, :]          # (N_OBJ_PAD, 1, N_CHANNELS)
 
 
-                # --- MXU sweep-offload feature/coefficient layout ---
-# Every intersection form is linear in a 12-dim per-ray feature vector
-# (ops.linear_forms); the MXU sweep variant evaluates ALL forms of a group
-# as ONE matmul  R = Mᵀ·F : (forms, 12)·(12, NPIX) → (forms, NPIX), with
-# pixels on the lane axis — so winner reduction, accept tests and one-hot
-# attribute sums run on (T, NPIX) exactly like the VPU path's (T, TH, TW),
-# and the only relayouts are the stacked (12, TH, TW) → (12, NPIX) feature
-# reshape and one (12, NPIX) → (12, TH, TW) per group result (no
-# transposes; all sublane slice offsets are multiples of 8).
-F_DX = 0             # feature rows: ray direction d
-F_MX = 3             # m = o × d
-F_OX = 6             # ray origin o
-F_ODOT = 9           # o·d
-F_OO = 10            # |o|²
-F_ONE = 11
-N_FEATURES = 12
+def cluster_bounds(scene: Scene, tri_clusters=None, sph_clusters=None):
+    """Bounding sphere (cx, cy, cz, r) per cluster → (K_tri + K_sph, 4) f32.
 
-
-def pack_mxu_forms(scene: Scene, tri_clusters=None):
-    """Coefficient matrix (N_FEATURES, 4·Σt_pads + 2·s_pad) for the MXU
-    sweeps. Column blocks per cluster k: [det | u·det | v·det | t·det] of
-    t_pads[k] columns each (padding columns are zero → det = 0 → rejected
-    by the det ≥ 0.001 cull); then spheres: [tca | ll] of s_pad columns
-    (zero columns → tca = 0 → rejected by the strict tca > 0 cull)."""
-    T, S = scene.n_triangles, scene.n_spheres
-    pads = tri_cluster_pads(T, tri_clusters)
-    s_pad = _round_up(S, 8)
-
-    v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
-    n = jnp.cross(e1, e2)
-    cdet = jnp.cross(e2, e1)
-    au, bu = jnp.cross(v0, e2), e2
-    av, bv = jnp.cross(e1, v0), e1
-
-    def tri_block(cols3_d, cols3_m=None, cols3_o=None, const=None):
-        """One (N_FEATURES, T) form block from per-triangle coefficients."""
-        b = jnp.zeros((N_FEATURES, T), f32)
-        if cols3_d is not None:
-            b = b.at[F_DX:F_DX + 3].set(cols3_d.T)
-        if cols3_m is not None:
-            b = b.at[F_MX:F_MX + 3].set(cols3_m.T)
-        if cols3_o is not None:
-            b = b.at[F_OX:F_OX + 3].set(cols3_o.T)
-        if const is not None:
-            b = b.at[F_ONE].set(const)
-        return b
-
-    det_b = tri_block(cdet)
-    u_b = tri_block(au, bu)
-    v_b = tri_block(av, -bv)
-    t_b = tri_block(None, None, n, -jnp.sum(v0 * n, axis=-1))
-
-    counts = list(tri_clusters) if tri_clusters else [T]
-    parts = []
-    off = 0
-    for cnt, pad in zip(counts, pads):
-        for b in (det_b, u_b, v_b, t_b):
-            blk = b[:, off:off + cnt]
-            if pad > cnt:
-                blk = jnp.pad(blk, ((0, 0), (0, pad - cnt)))
-            parts.append(blk)
-        off += cnt
-
-    p = scene.sph_pos
-    tca_b = jnp.zeros((N_FEATURES, S), f32)
-    tca_b = tca_b.at[F_DX:F_DX + 3].set(p.T).at[F_ODOT].set(-1.0)
-    ll_b = jnp.zeros((N_FEATURES, S), f32)
-    ll_b = (ll_b.at[F_OX:F_OX + 3].set(-2.0 * p.T).at[F_OO].set(1.0)
-            .at[F_ONE].set(jnp.sum(p * p, axis=-1)))
-    for b in (tca_b, ll_b):
-        if s_pad > S:
-            b = jnp.pad(b, ((0, 0), (0, s_pad - S)))
-        parts.append(b)
-    return jnp.concatenate(parts, axis=1)
-
-
-def tri_cluster_bounds(scene: Scene, tri_clusters=None):
-    """Bounding sphere (cx, cy, cz, r) per triangle cluster → (K, 4) f32.
-
-    Conservative: AABB center of all cluster vertices, radius to the
-    farthest vertex plus a small epsilon for float slack.
+    Conservative: AABB center of the cluster's vertices (or sphere
+    centers), radius to the farthest vertex / sphere surface plus a small
+    epsilon for float slack. Runs per frame inside jit — sphere clusters
+    containing the orbiting sun/moon proxies get fresh bounds each frame.
     """
     counts = list(tri_clusters) if tri_clusters else [scene.n_triangles]
     v0 = scene.tri_v0
@@ -284,7 +228,25 @@ def tri_cluster_bounds(scene: Scene, tri_clusters=None):
         r = jnp.sqrt(jnp.max(jnp.sum((vs - c) ** 2, axis=-1))) * 1.001 + 0.01
         out.append(jnp.concatenate([c, r[None]]))
         off += cnt
+    s_counts, _, _ = sph_cluster_norm(scene.n_spheres, sph_clusters)
+    off = 0
+    for cnt in s_counts:
+        p = scene.sph_pos[off:off + cnt]
+        sr = scene.sph_r[off:off + cnt]
+        lo = jnp.min(p, axis=0)
+        hi = jnp.max(p, axis=0)
+        c = (lo + hi) * 0.5
+        r = (jnp.max(jnp.sqrt(jnp.sum((p - c) ** 2, axis=-1)) + sr)
+             * 1.001 + 0.01)
+        out.append(jnp.concatenate([c, r[None]]))
+        off += cnt
     return jnp.stack(out)
+
+
+def tri_cluster_bounds(scene: Scene, tri_clusters=None):
+    """Back-compat alias: triangle-cluster bounds only."""
+    K = len(tri_clusters) if tri_clusters else 1
+    return cluster_bounds(scene, tri_clusters)[:K]
 
 
 def pack_params(cam_rays, lights: Lights, ambient, sea_y, row0=0):
@@ -447,137 +409,29 @@ def _local_reduce(Cg, t_g):
     return (t_min, win_g, *attrs)
 
 
-# --- MXU sweep variants: forms via one matmul, pixels on the lane axis ---
-
-# f32 matmul on the MXU runs as bf16 passes; HIGHEST (bf16x6 ≈ full f32)
-# keeps t-ordering/epsilon parity with the VPU path — the coefficient
-# magnitudes (cross products of world coordinates) reach 1e6, far beyond
-# bf16's 8-bit mantissa.
-MXU_PRECISION = jax.lax.Precision.HIGHEST
-
-
-def _features_flat(ox, oy, oz, dx, dy, dz, mx, my, mz):
-    """Stack the 12 linear-form features, pixels flattened to lanes:
-    (N_FEATURES, TH, TW) → (N_FEATURES, TH·TW). The reshape is the one
-    Mosaic relayout the MXU path pays per ray set (probed affordable)."""
-    odot = ox * dx + oy * dy + oz * dz
-    oo = ox * ox + oy * oy + oz * oz
-    S = jnp.stack([dx, dy, dz, mx, my, mz, ox, oy, oz, odot, oo,
-                   jnp.ones_like(ox)])
-    return S.reshape(N_FEATURES, -1)
-
-
-def _tri_forms_mxu(Mk, F, Tk):
-    """One matmul → the four det-scaled forms (det, u, v, t), each
-    (Tk, NPIX); epsilon semantics identical to _tri_t."""
-    R = jax.lax.dot_general(Mk, F, (((0,), (0,)), ((), ())),
-                            preferred_element_type=f32,
-                            precision=MXU_PRECISION)
-    return R[0:Tk], R[Tk:2 * Tk], R[2 * Tk:3 * Tk], R[3 * Tk:4 * Tk]
-
-
-def _tri_t_mxu(Mk, F, Tk):
-    """Triangle sweep on the MXU → t (Tk, NPIX), BIG where miss."""
-    det, u_det, v_det, t_det = _tri_forms_mxu(Mk, F, Tk)
-    acc = jnp.minimum(jnp.minimum(det - 0.001, t_det),
-                      jnp.minimum(jnp.minimum(u_det, v_det),
-                                  det - u_det - v_det))
-    hit = acc >= 0
-    t = t_det / jnp.where(hit, det, 1.0)
-    return jnp.where(hit, t, BIG)
-
-
-def _sph_t_mxu(Ms, F, s_pad, Cs):
-    """Sphere sweep: (tca, ll) via matmul, the quadratic tail on the VPU →
-    t (s_pad, NPIX), BIG where miss (kernel.cu:47-69)."""
-    R = jax.lax.dot_general(Ms, F, (((0,), (0,)), ((), ())),
-                            preferred_element_type=f32,
-                            precision=MXU_PRECISION)
-    tca, ll = R[0:s_pad], R[s_pad:2 * s_pad]
-    d2 = ll - tca * tca
-    r2 = Cs[:, 0, C_R2:C_R2 + 1]             # (S, 1) broadcasts over lanes
-    acc = jnp.minimum(tca, jnp.minimum(r2 - d2, d2 + 0.01))
-    t = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
-    return jnp.where(acc > 0, t, BIG)
-
-
-def _local_reduce_2d(Cg, t_g):
-    """_local_reduce on a (T, NPIX) lane-major sweep → 12 (1, NPIX) fields
-    (keepdims: Mosaic's vector layout inference rejects 1-D↔2-D casts)."""
-    g = Cg[:, 0, C_GIDX:C_GIDX + 1]          # (T, 1)
-    t_min = jnp.min(t_g, axis=0, keepdims=True)
-    win_g = jnp.min(jnp.where(t_g == t_min, g, f32(1e9)), axis=0,
-                    keepdims=True)
-    oh = (jnp.where(g == win_g, 1.0, 0.0)
-          * jnp.where(t_g < BIG * 0.5, 1.0, 0.0))
-    attrs = [jnp.sum(oh * Cg[:, 0, c:c + 1], axis=0, keepdims=True)
-             for c in ATTR_CHANNELS]
-    return (t_min, win_g, *attrs)
-
-
-def _to_tiles(fields, TH, TW):
-    """Lane-major (1, NPIX) fields back to (TH, TW) tiles, batched.
-
-    Mosaic supports the merge reshape (n, TH, TW) → (n, NPIX) but not the
-    split direction, so the inverse is built from TW-aligned lane slices
-    stacked on a new sublane axis — all supported ops."""
-    S = jnp.concatenate(fields, axis=0)                    # (n, NPIX)
-    rows = [S[:, r * TW:(r + 1) * TW] for r in range(TH)]  # (n, TW) each
-    T3 = jnp.stack(rows, axis=1)                           # (n, TH, TW)
-    return tuple(T3[i] for i in range(len(fields)))
-
-
-def _tri_occ_mxu(Mk, F, Tk, sdist_flat, TH, TW):
-    """Shadow partial from one cluster on the MXU → f32 {0,1} (TH, TW).
-
-    t < dist ⟺ t_det < dist·det under the det ≥ 0.001 accept."""
-    det, u_det, v_det, t_det = _tri_forms_mxu(Mk, F, Tk)
-    acc = jnp.minimum(jnp.minimum(det - 0.001, t_det),
-                      jnp.minimum(jnp.minimum(u_det, v_det),
-                                  det - u_det - v_det))
-    occ = (jnp.where(acc >= 0, 1.0, 0.0)
-           * jnp.where(t_det < sdist_flat * det, 1.0, 0.0))
-    any_occ = jnp.max(occ, axis=0, keepdims=True)
-    return _to_tiles([any_occ], TH, TW)[0]
-
-
-def _sph_plane_occ_mxu(Ms, F, s_pad, Cs, sdist_flat, sdist, oy, dy, sea_y,
-                       TH, TW):
-    """Shadow partial from spheres + sea plane, MXU variant → (TH, TW)."""
-    blocks = Cs[:, 0, C_BLOCKS:C_BLOCKS + 1]
-    t_s = jnp.where(blocks > 0, _sph_t_mxu(Ms, F, s_pad, Cs), BIG)
-    sph_m = jnp.where(jnp.min(t_s, axis=0, keepdims=True) < sdist_flat,
-                      1.0, 0.0)
-    any_sph = _to_tiles([sph_m], TH, TW)[0]
-    any_pl = _plane_t(oy, dy, sea_y) < sdist
-    return jnp.where((any_sph > 0) | any_pl, 1.0, 0.0)
-
-
 def _tri_occ_partial(Ctk, ox, oy, oz, dx, dy, dz, mx, my, mz, max_dist):
     """Shadow partial from one triangle cluster → f32 {0,1} (TH, TW)."""
     t = _tri_t(Ctk, ox, oy, oz, dx, dy, dz, mx, my, mz)
     return jnp.where(jnp.min(t, axis=0) < max_dist, 1.0, 0.0)
 
 
-def _sph_plane_occ_partial(Cs, sph_blocks, ox, oy, oz, dx, dy, dz,
-                           max_dist, sea_y):
-    """Shadow partial from spheres (non-light only, kernel.cu:188-193) and
-    the sea plane → f32 {0,1} (TH, TW)."""
-    t_sph = jnp.where(sph_blocks > 0, _sph_t(Cs, ox, oy, oz, dx, dy, dz), BIG)
-    any_sph = jnp.min(t_sph, axis=0) < max_dist
-    any_pl = _plane_t(oy[0], dy[0], sea_y) < max_dist
-    return jnp.where(any_sph | any_pl, 1.0, 0.0)
+def _sph_occ_partial(Csk, ox, oy, oz, dx, dy, dz, max_dist):
+    """Shadow partial from one sphere cluster → f32 {0,1} (TH, TW).
+
+    Emissive spheres never occlude (kernel.cu:188-193): masked by the
+    per-row C_BLOCKS channel."""
+    blocks = Csk[:, :, C_BLOCKS:C_BLOCKS + 1]
+    t_sph = jnp.where(blocks > 0, _sph_t(Csk, ox, oy, oz, dx, dy, dz), BIG)
+    return jnp.where(jnp.min(t_sph, axis=0) < max_dist, 1.0, 0.0)
 
 
-def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None,
-                 mxu=False):
-    def kernel(params_ref, coef_ref, *refs):
+def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
+                 total_w=None):
+    def kernel(params_ref, coef_ref,
+               r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
         # whole frames into one launch (per-frame params/coef arrive via the
         # BlockSpec index maps), amortizing fixed per-dispatch costs
-        if mxu:
-            mxu_ref, *refs = refs
-        (r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref) = refs
         f = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -588,26 +442,17 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None,
 
         P = _P()
         C = coef_ref[0]                      # (N_OBJ_PAD, 1, N_CHANNELS)
-        t_pad = sum(t_pads)
         Ct_list = []                         # per-cluster triangle row slices
         off = 1
         for pad in t_pads:
             Ct_list.append(C[off:off + pad])
             off += pad
-        Cs = C[1 + t_pad:1 + t_pad + s_pad]  # sphere rows
+        Cs_list = []                         # per-cluster sphere row slices
+        for pad in s_pads:
+            Cs_list.append(C[off:off + pad])
+            off += pad
         Cp = C[0:1, 0, :]                    # sea plane row, (1, N_CHANNELS)
-        sph_blocks = Cs[:, :, C_BLOCKS:C_BLOCKS + 1]
         sea_y = P[P_SEAY]
-        if mxu:
-            # whole forms matrix staged once (like C): cluster k's block
-            # starts at 4·Σt_pads[:k]; spheres' (tca|ll) block follows
-            M = mxu_ref[0]
-            m_offs = []
-            m_off = 0
-            for pad in t_pads:
-                m_offs.append(m_off)
-                m_off += 4 * pad
-            Ms = M[:, m_off:m_off + 2 * s_pad]
 
         def cluster_bound(kk):
             b = P_CLUSTERS + 4 * kk
@@ -656,15 +501,17 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None,
 
         ambx, amby, ambz = P[P_AMBIENT], P[P_AMBIENT + 1], P[P_AMBIENT + 2]
 
-        def step(k, carry):
+        def step(carry):
             """One bounce level, flattened into SIBLING lax.conds (Mosaic
-            cannot legalize nested scf.if). Each triangle cluster runs
-            sweep + local winner reduce inside its own cond, gated on tile
-            liveness AND a sound bounding-sphere interval cull; spheres get
-            their own cond; the cross-group combine is a few 2D selects and
-            runs unconditionally. Shadows repeat the pattern per light. This
-            recovers the reference's sequential early-outs (kernel.cu:192,
-            222) at tile granularity plus spatial culling it never had."""
+            cannot legalize nested scf.if). Each triangle AND sphere cluster
+            runs sweep + local winner reduce inside its own cond, gated on
+            tile liveness AND a sound bounding-sphere interval cull; the
+            cross-group combine is a few 2D selects and runs
+            unconditionally. Shadows repeat the pattern per light (emissive-
+            only sphere clusters are statically excluded from occlusion).
+            This recovers the reference's sequential early-outs
+            (kernel.cu:192, 222) at tile granularity plus spatial culling it
+            never had."""
             (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
              mw, mdx, mdy, mdz) = carry
             any_live = jnp.max(live) > 0
@@ -680,52 +527,33 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None,
                 return (jnp.full((TH, TW), BIG, f32),
                         jnp.full((TH, TW), 1e9, f32)) + (z,) * 10
 
+            ray_args = (ox, oy, oz, dx, dy, dz, mx, my, mz)
             candidates = []
-            if mxu:
-                # one stacked feature relayout per bounce feeds every
-                # group's matmul; reductions stay pixel-on-lanes and each
-                # cond reshapes its 12 winner fields back to tiles
-                F = _features_flat(ox, oy, oz, dx, dy, dz, mx, my, mz)
-                for kk, (Ctk, Tk) in enumerate(zip(Ct_list, t_pads)):
-                    poss = _cluster_possible(*cluster_bound(kk), obox, dbox)
+            for kk, Ctk in enumerate(Ct_list):
+                poss = _cluster_possible(*cluster_bound(kk), obox, dbox)
 
-                    def sweep_k(F, Ctk=Ctk, Tk=Tk, mo=m_offs[kk]):
-                        t_k = _tri_t_mxu(M[:, mo:mo + 4 * Tk], F, Tk)
-                        return _to_tiles(_local_reduce_2d(Ctk, t_k), TH, TW)
-
-                    candidates.append(jax.lax.cond(
-                        any_live & poss, sweep_k, group_skip, F))
-
-                def sweep_sph(F):
-                    t_s = _sph_t_mxu(Ms, F, s_pad, Cs)
-                    return _to_tiles(_local_reduce_2d(Cs, t_s), TH, TW)
-
-                candidates.append(jax.lax.cond(
-                    any_live, sweep_sph, group_skip, F))
-            else:
-                for kk, Ctk in enumerate(Ct_list):
-                    poss = _cluster_possible(*cluster_bound(kk), obox, dbox)
-
-                    def sweep_k(args, Ctk=Ctk):
-                        ox, oy, oz, dx, dy, dz, mx, my, mz = args
-                        t_k = _tri_t(Ctk, ox[None], oy[None], oz[None],
-                                     dx[None], dy[None], dz[None],
-                                     mx[None], my[None], mz[None])
-                        return _local_reduce(Ctk, t_k)
-
-                    candidates.append(jax.lax.cond(
-                        any_live & poss, sweep_k, group_skip,
-                        (ox, oy, oz, dx, dy, dz, mx, my, mz)))
-
-                def sweep_sph(args):
+                def sweep_k(args, Ctk=Ctk):
                     ox, oy, oz, dx, dy, dz, mx, my, mz = args
-                    t_s = _sph_t(Cs, ox[None], oy[None], oz[None],
-                                 dx[None], dy[None], dz[None])
-                    return _local_reduce(Cs, t_s)
+                    t_k = _tri_t(Ctk, ox[None], oy[None], oz[None],
+                                 dx[None], dy[None], dz[None],
+                                 mx[None], my[None], mz[None])
+                    return _local_reduce(Ctk, t_k)
 
                 candidates.append(jax.lax.cond(
-                    any_live, sweep_sph, group_skip,
-                    (ox, oy, oz, dx, dy, dz, mx, my, mz)))
+                    any_live & poss, sweep_k, group_skip, ray_args))
+
+            for kk, Csk in enumerate(Cs_list):
+                poss = _cluster_possible(
+                    *cluster_bound(len(t_pads) + kk), obox, dbox)
+
+                def sweep_s(args, Csk=Csk):
+                    ox, oy, oz, dx, dy, dz, mx, my, mz = args
+                    t_s = _sph_t(Csk, ox[None], oy[None], oz[None],
+                                 dx[None], dy[None], dz[None])
+                    return _local_reduce(Csk, t_s)
+
+                candidates.append(jax.lax.cond(
+                    any_live & poss, sweep_s, group_skip, ray_args))
 
             # sea plane candidate (cheap 2D math, unconditional)
             t_pl = _plane_t(oy, dy, sea_y)
@@ -798,58 +626,47 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None,
                 smz = sox * sdy - soy * sdx
 
                 occ_f = jnp.zeros((TH, TW), f32)
-                if mxu:
-                    Fs = _features_flat(sox, soy, soz, sdx, sdy, sdz,
-                                        smx, smy, smz)
-                    sdist_flat = sdist.reshape(1, TH * TW)
-                    for kk, Tk in enumerate(t_pads):
-                        poss = _cluster_possible(*cluster_bound(kk), hbox,
-                                                 sdbox)
+                shadow_args = (sox, soy, soz, sdx, sdy, sdz, smx, smy, smz,
+                               sdist)
+                for kk, Ctk in enumerate(Ct_list):
+                    poss = _cluster_possible(*cluster_bound(kk), hbox,
+                                             sdbox)
 
-                        def occ_k(args, Tk=Tk, mo=m_offs[kk]):
-                            Fs, sdist_flat = args
-                            return _tri_occ_mxu(M[:, mo:mo + 4 * Tk], Fs, Tk,
-                                                sdist_flat, TH, TW)
-
-                        occ_f = occ_f + jax.lax.cond(
-                            any_need & poss, occ_k, zero2d,
-                            (Fs, sdist_flat))
-
-                    def occ_sp(args):
-                        Fs, sdist_flat = args
-                        return _sph_plane_occ_mxu(Ms, Fs, s_pad, Cs,
-                                                  sdist_flat, sdist,
-                                                  soy, sdy, sea_y, TH, TW)
+                    def occ_k(args, Ctk=Ctk):
+                        (sox, soy, soz, sdx, sdy, sdz,
+                         smx, smy, smz, sdist) = args
+                        return _tri_occ_partial(
+                            Ctk, sox[None], soy[None], soz[None],
+                            sdx[None], sdy[None], sdz[None],
+                            smx[None], smy[None], smz[None], sdist)
 
                     occ_f = occ_f + jax.lax.cond(
-                        any_need, occ_sp, zero2d, (Fs, sdist_flat))
-                else:
-                    for kk, Ctk in enumerate(Ct_list):
-                        poss = _cluster_possible(*cluster_bound(kk), hbox,
-                                                 sdbox)
+                        any_need & poss, occ_k, zero2d, shadow_args)
 
-                        def occ_k(args, Ctk=Ctk):
-                            (sox, soy, soz, sdx, sdy, sdz,
-                             smx, smy, smz, sdist) = args
-                            return _tri_occ_partial(
-                                Ctk, sox[None], soy[None], soz[None],
-                                sdx[None], sdy[None], sdz[None],
-                                smx[None], smy[None], smz[None], sdist)
+                for kk, Csk in enumerate(Cs_list):
+                    if not s_occl[kk]:
+                        continue        # emissive-only cluster (sun/moon
+                    #                     proxies): statically shadow-inert
+                    poss = _cluster_possible(
+                        *cluster_bound(len(t_pads) + kk), hbox, sdbox)
 
-                        occ_f = occ_f + jax.lax.cond(
-                            any_need & poss, occ_k, zero2d,
-                            (sox, soy, soz, sdx, sdy, sdz, smx, smy, smz,
-                             sdist))
-
-                    def occ_sp(args):
-                        sox, soy, soz, sdx, sdy, sdz, sdist = args
-                        return _sph_plane_occ_partial(
-                            Cs, sph_blocks, sox[None], soy[None], soz[None],
-                            sdx[None], sdy[None], sdz[None], sdist, sea_y)
+                    def occ_s(args, Csk=Csk):
+                        (sox, soy, soz, sdx, sdy, sdz,
+                         smx, smy, smz, sdist) = args
+                        return _sph_occ_partial(
+                            Csk, sox[None], soy[None], soz[None],
+                            sdx[None], sdy[None], sdz[None], sdist)
 
                     occ_f = occ_f + jax.lax.cond(
-                        any_need, occ_sp, zero2d,
-                        (sox, soy, soz, sdx, sdy, sdz, sdist))
+                        any_need & poss, occ_s, zero2d, shadow_args)
+
+                def occ_pl(args):
+                    soy, sdy, sdist = args
+                    return jnp.where(_plane_t(soy, sdy, sea_y) < sdist,
+                                     1.0, 0.0)
+
+                occ_f = occ_f + jax.lax.cond(
+                    any_need, occ_pl, zero2d, (soy, sdy, sdist))
                 angles.append(jnp.where(occ_f > 0, 0.0, angle))
                 sdirs.append((sdx, sdy, sdz))
 
@@ -929,8 +746,20 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None,
             return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
                     mw, mdx, mdy, mdz)
 
+        # bounce loop as a while: a tile whose lanes are all dead (sky
+        # tiles after level 0, most tiles after level 1 — only mirror
+        # chains survive) exits immediately, skipping even the per-level
+        # combine/shadow-geometry overhead a fori_loop would pay
+        def loop_cond(state):
+            k, carry = state
+            return (k < MAX_DEPTH + 1) & (jnp.max(carry[10]) > 0)
 
-        carry = jax.lax.fori_loop(0, MAX_DEPTH + 1, step, carry)
+        def loop_body(state):
+            k, carry = state
+            return k + 1, step(carry)
+
+        _, carry = jax.lax.while_loop(loop_cond, loop_body,
+                                      (jnp.int32(0), carry))
 
         (_, _, _, _, _, _, _, ra, ga, ba, _, mw, mdx, mdy, mdz) = carry
         r_ref[0] = ra
@@ -945,47 +774,36 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h=None, total_w=None,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "TH", "TW", "t_pads", "s_pad", "interpret", "total_h",
-    "total_w"))
+    "H", "W", "TH", "TW", "t_pads", "s_pads", "s_occl", "interpret",
+    "total_h", "total_w"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
-                          s_pad: int, TH: int = 16, TW: int = 256,
+                          s_pads: tuple, s_occl: tuple,
+                          TH: int = 16, TW: int = 256,
                           interpret: bool = False,
                           total_h: int | None = None,
-                          total_w: int | None = None,
-                          mcoefs=None):
+                          total_w: int | None = None):
     """Render a BATCH of frames in one launch.
 
     coefs (K, N_OBJ_PAD, 1, C), params (K, N_PARAMS) → 7 planes of
     (K, H, W) f32. The grid's leading dimension walks frames; fixed
     per-dispatch costs amortize over K (scripted animation / benchmark
-    batches — the latency-sensitive interactive path uses K=1).
-
-    mcoefs (K, N_FEATURES, M) from pack_mxu_forms selects the MXU sweep
-    variant (forms evaluated as matmuls instead of VPU broadcast dots)."""
+    batches — the latency-sensitive interactive path uses K=1)."""
     K = coefs.shape[0]
-    mxu = mcoefs is not None
     grid = (K, pl.cdiv(H, TH), pl.cdiv(W, TW))
     out = jax.ShapeDtypeStruct((K, H, W), f32)
     tile = lambda f, i, j: (f, i, j)
-    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pad, total_h, total_w,
-                          mxu=mxu)
-    in_specs = [
-        # full (K, N_PARAMS) table in SMEM, indexed by program_id(0)
-        # (a (1, N) block would violate the divisible-by-8 rule)
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1,) + coefs.shape[1:], lambda f, i, j: (f, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [params, coefs]
-    if mxu:
-        in_specs.append(
-            pl.BlockSpec((1,) + mcoefs.shape[1:], lambda f, i, j: (f, 0, 0),
-                         memory_space=pltpu.VMEM))
-        operands.append(mcoefs)
+    kernel = _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h,
+                          total_w)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs,
+        in_specs=[
+            # full (K, N_PARAMS) table in SMEM, indexed by program_id(0)
+            # (a (1, N) block would violate the divisible-by-8 rule)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,) + coefs.shape[1:], lambda f, i, j: (f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=tuple(
             pl.BlockSpec((1, TH, TW), tile, memory_space=pltpu.VMEM)
             for _ in range(7)),
@@ -996,18 +814,18 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
             # overlap output DMA with the next tile's compute
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
-    )(*operands)
+    )(params, coefs)
 
 
-def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple, s_pad: int,
+def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
+                    s_pads: tuple, s_occl: tuple,
                     TH: int = 16, TW: int = 256, interpret: bool = False,
                     total_h: int | None = None,
-                    total_w: int | None = None, mcoef=None):
+                    total_w: int | None = None):
     """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
     planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
-                                   s_pad, TH, TW, interpret, total_h,
-                                   total_w,
-                                   None if mcoef is None else mcoef[None])
+                                   s_pads, s_occl, TH, TW, interpret,
+                                   total_h, total_w)
     return tuple(p[0] for p in planes)
 
 
@@ -1015,32 +833,34 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               height: int, width: int, tile_h: int = 16,
                               tile_w: int = 256, interpret: bool = False,
                               tri_clusters: tuple | None = None,
-                              row0=0, total_height: int | None = None,
-                              mxu: bool = False):
+                              sph_clusters: tuple | None = None,
+                              row0=0, total_height: int | None = None):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
 
     tri_clusters: optional static partition of the triangle list (contiguous
-    counts, e.g. (58, 48) = island+trees / mountains). Each cluster gets a
-    bounding sphere and per-tile interval culling in the kernel; None treats
-    all triangles as one cluster. row0 may be a traced scalar (it rides the
-    SMEM params vector), so sharded bands share one compiled kernel.
-    mxu selects the matmul-form sweeps (pack_mxu_forms)."""
-    coef = pack_scene(scene, tri_clusters)
+    counts, e.g. (16, 48, 12, 12, 12, 12) = island / trees / 4 mountain
+    groups). sph_clusters: ((count, occludes), ...) partition of the sphere
+    list (e.g. ((24, True), (2, False)) = scene spheres / emissive sun+moon
+    proxies). Each cluster gets a bounding sphere and per-tile interval
+    culling in the kernel; None treats the whole class as one cluster.
+    row0 may be a traced scalar (it rides the SMEM params vector), so
+    sharded bands share one compiled kernel."""
+    coef = pack_scene(scene, tri_clusters, sph_clusters)
     params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1],
                          row0=row0)
-    bounds = tri_cluster_bounds(scene, tri_clusters).reshape(-1)
+    bounds = cluster_bounds(scene, tri_clusters, sph_clusters).reshape(-1)
     params = jax.lax.dynamic_update_slice(params, bounds, (P_CLUSTERS,))
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
-    s_pad = _round_up(scene.n_spheres, 8)
+    _, s_pads, s_occl = sph_cluster_norm(scene.n_spheres, sph_clusters)
+    assert len(t_pads) + len(s_pads) <= MAX_CLUSTERS
     # Mosaic executes partial edge blocks ~14x slower than full ones; render
     # at the next tile multiple and crop (the padded rays are harmless)
     h_pad = _round_up(height, tile_h)
     w_pad = _round_up(width, tile_w)
-    mcoef = pack_mxu_forms(scene, tri_clusters) if mxu else None
-    planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pad,
-                             tile_h, tile_w, interpret,
+    planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pads,
+                             s_occl, tile_h, tile_w, interpret,
                              total_height if total_height is not None
-                             else height, width, mcoef)
+                             else height, width)
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:height, :width] for p in planes)
     return planes

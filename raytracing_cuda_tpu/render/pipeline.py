@@ -25,14 +25,14 @@ from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "chunk", "aspect", "fxaa_static",
-                     "path", "tri_clusters", "mxu"))
+                     "path", "tri_clusters", "sph_clusters"))
 def render_frame(scene: Scene, state: FrameState, sky_texels,
                  height: int, width: int, chunk: int = 32768,
                  aspect: float | None = None,
                  fxaa_static: bool | None = None,
                  path: str = "fast",
                  tri_clusters: tuple | None = None,
-                 mxu: bool = False):
+                 sph_clusters: tuple | None = None):
     """Render one frame → (height, width, 3) uint8.
 
     aspect defaults to width/height (see RenderConfig.aspect for the
@@ -55,7 +55,8 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
         base = _pallas_base(scene_f, lights, ambient, rays, pack_sky(blended),
                             sh, sw, day_frac, height, width,
                             interpret=(path == "pallas_interpret"),
-                            tri_clusters=tri_clusters, mxu=mxu)
+                            tri_clusters=tri_clusters,
+                            sph_clusters=sph_clusters)
     else:
         render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
         base = render(scene_f, lights, ambient, blended, day_frac,
@@ -71,7 +72,7 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
 
 def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
                  day_frac, height, width, interpret=False,
-                 tri_clusters=None, sky_grouped=False, mxu=False):
+                 tri_clusters=None, sph_clusters=None, sky_grouped=False):
     """Megakernel + deferred sky resolve from a pre-packed sky plane.
 
     Split out so callers that cache the packed sky across frames (the sky
@@ -87,7 +88,7 @@ def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
 
     r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
         scene_f, lights, ambient, rays, height, width, interpret=interpret,
-        tri_clusters=tri_clusters, mxu=mxu)
+        tri_clusters=tri_clusters, sph_clusters=sph_clusters)
     mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
     if sky_grouped:
         sky = sample_sky_grouped(packed_sky, sky_h, sky_w, mdir, day_frac,
@@ -103,9 +104,9 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
                             aspect: float | None = None,
                             fxaa_static: bool | None = None,
                             tri_clusters: tuple | None = None,
+                            sph_clusters: tuple | None = None,
                             sky_grouped: bool | None = None,
-                            interpret: bool = False,
-                            mxu: bool = False):
+                            interpret: bool = False):
     """Pallas-path render that reuses a cached pre-blended sky.
 
     Returns (image, new_cached_vars, new_cached_packed). The 4-panorama
@@ -139,7 +140,8 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
 
     base = _pallas_base(scene_f, lights, ambient, rays, packed, sh, sw,
                         day_frac, height, width, tri_clusters=tri_clusters,
-                        sky_grouped=sky_grouped, interpret=interpret, mxu=mxu)
+                        sph_clusters=sph_clusters, sky_grouped=sky_grouped,
+                        interpret=interpret)
     if fxaa_static is None:
         img = apply_fxaa(base, state.aa)
     elif fxaa_static:
@@ -163,8 +165,8 @@ def render_frames_batch(scene: Scene, state, sky_texels,
                         height: int, width: int,
                         aspect: float | None = None,
                         tri_clusters: tuple | None = None,
-                        interpret: bool = False,
-                        mxu: bool = False):
+                        sph_clusters: tuple | None = None,
+                        interpret: bool = False):
     """Render a whole batch of frames in ONE megakernel launch.
 
     A cheap pre-scan steps the state machine and maintains the cached
@@ -181,8 +183,8 @@ def render_frames_batch(scene: Scene, state, sky_texels,
 
     from raytracing_cuda_tpu.render.fxaa import fxaa
     from raytracing_cuda_tpu.render.pallas_rt import (
-        N_PARAMS, P_CLUSTERS, _round_up, pack_mxu_forms, pack_params,
-        pack_scene, raytrace_planes_batch, tri_cluster_bounds,
+        N_PARAMS, P_CLUSTERS, _round_up, cluster_bounds, pack_params,
+        pack_scene, raytrace_planes_batch, sph_cluster_norm,
         tri_cluster_pads)
     from raytracing_cuda_tpu.render.reference import quantize
     from raytracing_cuda_tpu.scene.textures import (blend_sky, pack_sky,
@@ -216,25 +218,24 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     # 2. per-frame scene derivation + packs (vmapped)
     scene_fs, lights, ambients = jax.vmap(derive_frame, (None, 0))(scene, states)
     rays = jax.vmap(camera_rays, (0, None))(states.cam, aspect)
-    coefs = jax.vmap(functools.partial(pack_scene, tri_clusters=tri_clusters))(
-        scene_fs)
+    coefs = jax.vmap(functools.partial(pack_scene, tri_clusters=tri_clusters,
+                                       sph_clusters=sph_clusters))(scene_fs)
     params = jax.vmap(pack_params)(rays, lights, ambients,
                                    scene_fs.plane_pos[:, 1])
-    bounds = tri_cluster_bounds(scene, tri_clusters).reshape(-1)  # static geometry
-    params = jax.vmap(
-        lambda p: jax.lax.dynamic_update_slice(p, bounds, (P_CLUSTERS,)))(params)
+    bounds = jax.vmap(functools.partial(
+        cluster_bounds, tri_clusters=tri_clusters,
+        sph_clusters=sph_clusters))(scene_fs)  # per frame: sun/moon move
+    params = jax.vmap(lambda p, b: jax.lax.dynamic_update_slice(
+        p, b.reshape(-1), (P_CLUSTERS,)))(params, bounds)
 
     # 3. one launch for the whole batch
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
-    s_pad = _round_up(scene.n_spheres, 8)
+    _, s_pads, s_occl = sph_cluster_norm(scene.n_spheres, sph_clusters)
     h_pad = _round_up(height, 16)
     w_pad = _round_up(width, 256)
-    mcoefs = (jax.vmap(functools.partial(
-        pack_mxu_forms, tri_clusters=tri_clusters))(scene_fs)
-        if mxu else None)
     planes = raytrace_planes_batch(
-        coefs, params, h_pad, w_pad, t_pads, s_pad, interpret=interpret,
-        total_h=height, total_w=width, mcoefs=mcoefs)
+        coefs, params, h_pad, w_pad, t_pads, s_pads, s_occl,
+        interpret=interpret, total_h=height, total_w=width)
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:, :height, :width] for p in planes)
     r, g, b, mw, mdx, mdy, mdz = planes

@@ -253,18 +253,23 @@ def build_objects() -> _SceneAccum:
         off = (np.array([ox, level, oz], f32) * d).astype(f32)
         create_mountain(s, off, f32(size) * d, angle)
 
-    mnt(170, 0, 100, 0)
-    mnt(90, -100, 110, 45)
-    mnt(-35, -90, 100, 0)
-    mnt(-100, 65, 100, 0)   # sunset
-    mnt(25, 140, 100, 0)    # sunrise
-    mnt(130, 90, 100, 0)
+    # Same 12 mountains as scene.cpp:464-479, built in spatially-grouped
+    # order (east / south / west / north triples) so ISLAND_TRI_CLUSTERS can
+    # carve them into four contiguous clusters with tight bounding spheres —
+    # a typical view frustum tile then culls 2-3 of the groups. Object order
+    # only matters at exact-t ties between DIFFERENT mountains (degenerate).
+    mnt(170, 0, 100, 0)     # east
     mnt(100, 30, 70, 0)
     mnt(100, -40, 50, 30)
+    mnt(90, -100, 110, 45)  # south
     mnt(20, -100, 70, 0)
-    mnt(-80, -40, 80, 0)    # sunset
-    mnt(-70, 100, 90, 0)    # sunrise
+    mnt(-35, -90, 100, 0)
+    mnt(-80, -40, 80, 0)    # west (sunset)
+    mnt(-100, 65, 100, 0)   # (sunset)
+    mnt(-70, 100, 90, 0)    # (sunrise)
+    mnt(25, 140, 100, 0)    # north (sunrise)
     mnt(60, 90, 50, 0)
+    mnt(130, 90, 100, 0)
 
     create_igloo(s, np.array([4, -4, -4], f32), 10, 6)
     create_light_objects(s, init_lights().pos)
@@ -367,11 +372,16 @@ def build_classic_scene() -> Scene:
 CLASSIC_CAMERA = dict(pos=(55.0, 14.0, -3.0), hor_angle=180.0,
                       ver_angle=-12.0, fov=40.0)
 
-# Static triangle-cluster partition for the island scene (contiguous in
-# build order): island box + tree triangles, then mountain triangles.
-# Drives per-tile bounding-sphere culling in the Pallas kernel.
-ISLAND_TRI_CLUSTERS = (58, 48)
+# Static cluster partitions for the island scene (contiguous in build
+# order) — drive per-tile bounding-sphere culling in the Pallas kernel:
+#   triangles: island box (10) + trees (48), then the 12 mountains as four
+#   spatially-grouped triples (12 tris each, see build_objects);
+#   spheres: snowmen + igloo (24, shadow-casting), then the emissive
+#   sun/moon proxies (2, statically excluded from occlusion sweeps).
+ISLAND_TRI_CLUSTERS = (58, 12, 12, 12, 12)
+ISLAND_SPH_CLUSTERS = ((24, True), (2, False))
 TRI_CLUSTERS = {"island": ISLAND_TRI_CLUSTERS, "classic": None}
+SPH_CLUSTERS = {"island": ISLAND_SPH_CLUSTERS, "classic": None}
 
 SCENES = {"island": build_scene, "classic": build_classic_scene}
 

@@ -24,8 +24,6 @@ class RenderConfig:
     # 'auto' → the grouped (one gather per 8 pixels) resolve when the sky
     # shape is tile-divisible; 'flat' forces the per-pixel gather.
     antialiasing: bool = True   # FXAA default on (scene.cpp:24)
-    mxu_sweeps: bool = False    # evaluate intersection sweeps as MXU matmuls
-    # (pallas paths only; A/B flag — see docs/PERFORMANCE.md for the verdict)
     sky_source: str = "auto"    # 'reference' | 'procedural' | 'auto'
     sky_downsample: int = 1     # point-sample every k-th sky texel
     procedural_sky_shape: tuple = (2048, 4096)

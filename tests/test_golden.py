@@ -67,11 +67,13 @@ def test_matches_golden(env, name, path):
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_matches_golden_mxu_sweeps(env, name):
-    """The MXU-matmul sweep variant (pallas_rt.pack_mxu_forms) must sit in
-    the same golden gate as the VPU sweeps — identical epsilon semantics,
-    only matmul-order float reassociation differs."""
-    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+def test_matches_golden_clustered(env, name):
+    """The fully-clustered kernel (4 mountain groups + sphere clusters with
+    the emissive cluster statically excluded from shadows) must be
+    pixel-identical in result space to the unclustered kernel — culling and
+    cluster partitions are pure skip optimizations."""
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
 
     scene, sky = env
     golden = np.asarray(
@@ -80,8 +82,13 @@ def test_matches_golden_mxu_sweeps(env, name):
     img = np.asarray(
         render_frame(scene, make_state(**CASES[name]), sky, H, W,
                      chunk=4096, path="pallas_interpret",
-                     tri_clusters=ISLAND_TRI_CLUSTERS, mxu=True), np.float32)
+                     tri_clusters=ISLAND_TRI_CLUSTERS,
+                     sph_clusters=ISLAND_SPH_CLUSTERS), np.float32)
+    plain = np.asarray(
+        render_frame(scene, make_state(**CASES[name]), sky, H, W,
+                     chunk=4096, path="pallas_interpret"), np.float32)
+    assert np.array_equal(img, plain), "clustering changed pixels"
     diff = np.abs(img - golden)
     rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
-    assert rmse < 2e-3, f"{name}/mxu: rmse {rmse}"
+    assert rmse < 2e-3, f"{name}/clustered: rmse {rmse}"
     assert np.mean(np.any(diff > 2.0, axis=-1)) < 0.003

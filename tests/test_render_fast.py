@@ -190,7 +190,6 @@ def test_engine_cached_frame_wiring(scene, sky):
     eng = Engine(RenderConfig(width=W, height=H, path="pallas_interpret",
                               sky_source="procedural",
                               procedural_sky_shape=(64, 128), chunk=4096))
-    assert eng._render_cached is not None
     assert eng._cached_packed.ndim == 2    # grouped resolve selected
 
     img1 = np.asarray(eng.frame(), np.float32)       # render-only entry
