@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from raytracing_cuda_tpu.core.types import Scene
-from raytracing_cuda_tpu.render.fxaa import fxaa_ext
+from raytracing_cuda_tpu.render.fxaa import fxaa_ext, fxaa_ext_pallas
 from raytracing_cuda_tpu.render.fast import render_base_image_fast
 from raytracing_cuda_tpu.scene.textures import blend_sky
 from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
@@ -153,9 +153,10 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
         halo_bot = jax.lax.ppermute(base[:1], AXIS, up)
         ext = jnp.concatenate([halo_top, base, halo_bot], axis=0)
 
+        fxaa_band = (fxaa_ext_pallas if path == "pallas" else fxaa_ext)
         out = jax.lax.cond(
             aa,
-            lambda e: fxaa_ext(e, row0=idx * band, total_height=height),
+            lambda e: fxaa_band(e, row0=idx * band, total_height=height),
             lambda e: e[1:-1],
             ext,
         )

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 f32 = jnp.float32
 
@@ -118,3 +120,153 @@ def fxaa(image):
 def apply_fxaa(image, enabled):
     """FXAA with the runtime on/off toggle (kernel.cu:275-278 passthrough)."""
     return jax.lax.cond(enabled, fxaa, lambda x: x, image)
+
+
+# --- Pallas TPU variant -----------------------------------------------------
+#
+# The XLA stencil above materializes ~20 full-frame intermediates in HBM
+# (every shifted tap is its own pad+slice). The Pallas kernel holds the
+# whole rgb-packed frame in VMEM and computes every tap in registers: one
+# int32 plane in, one out. Math, tap set, thresholds and quantization are
+# op-for-op the XLA version's, so outputs are bit-identical (pinned by
+# tests/test_fxaa.py); the XLA version stays as the readable oracle and the
+# CPU-path implementation.
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _make_fxaa_kernel(TH, TW):
+    import jax.lax as lax
+
+    c1, c2, c3 = LUMA_WEIGHTS
+
+    def kernel(params_ref, in_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = params_ref[0]
+        total_h = params_ref[1]
+        total_w = params_ref[2]
+
+        win = in_ref[pl.ds(i * TH, TH + 8), pl.ds(j * TW, TW + 128)]
+        rf = (win & 0xFF).astype(f32)
+        gf = ((win >> 8) & 0xFF).astype(f32)
+        bf = ((win >> 16) & 0xFF).astype(f32)
+        # divide (not multiply-by-reciprocal): bit-parity with luminance()
+        lum = jnp.minimum(255.0, rf * c1 + gf * c2 + bf * c3) / 255.0
+
+        def tap(a, dy, dx):
+            return a[dy:dy + TH, dx:dx + TW]
+
+        lm = tap(lum, 1, 1)
+        ln = tap(lum, 0, 1)
+        ls = tap(lum, 2, 1)
+        le = tap(lum, 1, 2)
+        lw = tap(lum, 1, 0)
+        lne = tap(lum, 0, 2)
+        lnw = tap(lum, 0, 0)
+        lse = tap(lum, 2, 2)
+        lsw = tap(lum, 2, 0)
+
+        high = jnp.maximum(jnp.maximum(jnp.maximum(jnp.maximum(le, lw), ln),
+                                       ls), lm)
+        low = jnp.minimum(jnp.minimum(jnp.minimum(jnp.minimum(le, lw), ln),
+                                      ls), lm)
+        contrast = high - low
+        threshold = jnp.maximum(CONTRAST_THRESHOLD, RELATIVE_THRESHOLD * high)
+        skip = contrast < threshold
+
+        filt = (2.0 * (le + lw + ls + ln) + lne + lnw + lse + lsw) / 12.0
+        filt = jnp.minimum(1.0, jnp.abs(filt - lm) / contrast)
+        blend = filt * filt * (3.0 - 2.0 * filt)
+
+        hor = (jnp.abs(ln + ls - 2.0 * lm) * 2.0
+               + jnp.abs(lne + lse - 2.0 * le) + jnp.abs(lnw + lsw - 2.0 * lw))
+        ver = (jnp.abs(le + lw - 2.0 * lm) * 2.0
+               + jnp.abs(lne + lnw - 2.0 * ln) + jnp.abs(lse + lsw - 2.0 * ls))
+        is_hor = hor >= ver
+        pick_n = jnp.abs(ln - lm) >= jnp.abs(ls - lm)
+        pick_e = jnp.abs(le - lm) >= jnp.abs(lw - lm)
+
+        out_ch = []
+        for ch in (rf, gf, bf):
+            cm = tap(ch, 1, 1)
+            neighbor = jnp.where(
+                is_hor,
+                jnp.where(pick_n, tap(ch, 0, 1), tap(ch, 2, 1)),
+                jnp.where(pick_e, tap(ch, 1, 2), tap(ch, 1, 0)))
+            blended = neighbor * blend + cm * (1.0 - blend)
+            out_ch.append(jnp.clip(blended, 0.0, 255.0).astype(jnp.int32))
+
+        ys = row0 + (i * TH
+                     + lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+        xs = (j * TW
+              + lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
+        interior = ((ys > 0) & (ys < total_h - 1)
+                    & (xs > 0) & (xs < total_w - 1))
+        use_aa = interior & jnp.logical_not(skip)
+        aa = out_ch[0] | (out_ch[1] << 8) | (out_ch[2] << 16)
+        center = tap(win, 1, 1)
+        out_ref[...] = jnp.where(use_aa, aa, center)
+
+    return kernel
+
+
+def fxaa_ext_pallas(image_ext, row0, total_height: int, TH: int = 16,
+                    TW: int = 256, interpret: bool = False):
+    """Pallas fxaa_ext: band + 1-row halos → filtered band, (h, w, 3) u8.
+
+    row0 may be a traced scalar (rides the SMEM params vector — sharded
+    bands share one compiled kernel). The packed frame is edge-padded in x,
+    aligned up to (8, 128) multiples, and held fully VMEM-resident; each
+    grid tile loads its halo'd window at an aligned start."""
+    from jax.experimental import pallas as _pl  # noqa: F401 (kernel uses pl)
+
+    h = image_ext.shape[0] - 2
+    w = image_ext.shape[1]
+    img32 = image_ext.astype(jnp.int32)
+    packed = img32[..., 0] | (img32[..., 1] << 8) | (img32[..., 2] << 16)
+    # x edge-pad by 1 (matches the XLA version's mode="edge"), then align:
+    # window loads read (TH+8, TW+128) at (8,128)-aligned starts, so the
+    # plane needs h+2 rounded up plus one extra tile of slack in each dim
+    h_pad = _round_up(h, TH)
+    w_pad = _round_up(w, TW)
+    top = _round_up(h_pad + 8 + 2, 8)
+    wid = _round_up(w_pad + 128 + 2, 128)
+    plane = jnp.pad(packed, ((0, top - (h + 2)), (1, wid - w - 1)),
+                    mode="edge")
+    params = jnp.stack([jnp.asarray(row0, f32),
+                        jnp.float32(total_height), jnp.float32(w)])
+    out = pl.pallas_call(
+        _make_fxaa_kernel(TH, TW),
+        grid=(h_pad // TH, w_pad // TW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # whole plane resident
+        ],
+        out_specs=pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(params, plane)
+    out = out[:h, :w]
+    rgb = jnp.stack([out & 0xFF, (out >> 8) & 0xFF, (out >> 16) & 0xFF],
+                    axis=-1)
+    return rgb.astype(jnp.uint8)
+
+
+def fxaa_pallas(image, interpret: bool = False):
+    """Pallas FXAA on a full (H, W, 3) uint8 frame → (H, W, 3) uint8."""
+    ext = jnp.pad(image, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    return fxaa_ext_pallas(ext, row0=0, total_height=image.shape[0],
+                           interpret=interpret)
+
+
+def apply_fxaa_pallas(image, enabled, interpret: bool = False):
+    """Runtime-toggled Pallas FXAA (kernel.cu:275-278 passthrough)."""
+    return jax.lax.cond(enabled,
+                        lambda x: fxaa_pallas(x, interpret=interpret),
+                        lambda x: x, image)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from raytracing_cuda_tpu.core.types import Scene, SkyTextures
 from raytracing_cuda_tpu.render.fast import render_base_image_fast
-from raytracing_cuda_tpu.render.fxaa import apply_fxaa
+from raytracing_cuda_tpu.render.fxaa import apply_fxaa, apply_fxaa_pallas
 from raytracing_cuda_tpu.render.reference import render_base_image
 from raytracing_cuda_tpu.scene.textures import blend_sky
 from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
@@ -61,13 +61,22 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
         render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
         base = render(scene_f, lights, ambient, blended, day_frac,
                       rays, height, width, chunk=chunk)
-    if fxaa_static is None:
-        return apply_fxaa(base, state.aa)
-    if fxaa_static:
-        from raytracing_cuda_tpu.render.fxaa import fxaa
+    return _apply_aa(base, state.aa, fxaa_static, pallas=(path == "pallas"))
 
-        return fxaa(base)
-    return base
+
+def _apply_aa(base, aa_flag, fxaa_static, pallas: bool):
+    """FXAA dispatch: the Pallas kernel on the compiled TPU path, the XLA
+    stencil (the readable oracle) elsewhere. Outputs agree except at exact
+    luminance-comparison ties (genuinely ambiguous neighbor picks; gated by
+    tests/test_fxaa.py and the bench parity gate)."""
+    if fxaa_static is None:
+        return (apply_fxaa_pallas(base, aa_flag) if pallas
+                else apply_fxaa(base, aa_flag))
+    if not fxaa_static:
+        return base
+    from raytracing_cuda_tpu.render.fxaa import fxaa, fxaa_pallas
+
+    return fxaa_pallas(base) if pallas else fxaa(base)
 
 
 def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
@@ -142,14 +151,7 @@ def render_frame_cached_sky(scene: Scene, state: FrameState, sky_texels,
                         day_frac, height, width, tri_clusters=tri_clusters,
                         sph_clusters=sph_clusters, sky_grouped=sky_grouped,
                         interpret=interpret)
-    if fxaa_static is None:
-        img = apply_fxaa(base, state.aa)
-    elif fxaa_static:
-        from raytracing_cuda_tpu.render.fxaa import fxaa
-
-        img = fxaa(base)
-    else:
-        img = base
+    img = _apply_aa(base, state.aa, fxaa_static, pallas=not interpret)
     return img, state.sky_vars, packed
 
 
