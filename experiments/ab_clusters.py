@@ -1,0 +1,122 @@
+"""Interleaved A/B of megakernel cluster configurations on the TPU.
+
+Measures ONLY the megakernel (render_base_planes_pallas) under two static
+cluster layouts, alternating timed blocks of identical pipelined programs
+(docs/PERFORMANCE.md measurement discipline). Usage:
+
+  python experiments/ab_clusters.py --b "58,8,8,8,8,8,8"
+  python experiments/ab_clusters.py --tile-b 8x256   # tile-size A/B
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                ISLAND_TRI_CLUSTERS,
+                                                build_scene)
+from raytracing_cuda_tpu.sim import state as sim
+from raytracing_cuda_tpu.utils.config import enable_compilation_cache
+from raytracing_cuda_tpu.utils.timing import device_sync
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--a", default=None, help="tri clusters A (default: shipped)")
+    ap.add_argument("--b", default=None, help="tri clusters B")
+    ap.add_argument("--sph-a", default=None,
+                    help="sphere clusters, e.g. '24:1,2:0' (count:occludes)")
+    ap.add_argument("--sph-b", default=None)
+    ap.add_argument("--tile-a", default="16x256")
+    ap.add_argument("--tile-b", default=None)
+    ap.add_argument("--size", default="1280x720")
+    ap.add_argument("--day", type=float, default=14.0)
+    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--n", type=int, default=12)
+    ap.add_argument("--max-clusters", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.max_clusters:
+        from raytracing_cuda_tpu.render import pallas_rt
+        pallas_rt.MAX_CLUSTERS = args.max_clusters
+        pallas_rt.N_PARAMS = pallas_rt.P_CLUSTERS + 4 * args.max_clusters
+
+    enable_compilation_cache()
+    w, h = (int(v) for v in args.size.split("x"))
+
+    def tri(s):
+        return tuple(int(v) for v in s.split(",")) if s else ISLAND_TRI_CLUSTERS
+
+    def tile(s):
+        return tuple(int(v) for v in s.split("x"))
+
+    def sph(s):
+        if not s:
+            return ISLAND_SPH_CLUSTERS
+        return tuple((int(c.split(":")[0]), bool(int(c.split(":")[1])))
+                     for c in s.split(","))
+
+    ta, tb = tri(args.a), tri(args.b)
+    sa, sb = sph(args.sph_a), sph(args.sph_b)
+    tile_a = tile(args.tile_a)
+    tile_b = tile(args.tile_b) if args.tile_b else tile_a
+    if args.b is None and args.tile_b is None and args.sph_b is None:
+        raise SystemExit("give --b, --sph-b or --tile-b")
+
+    scene = jax.device_put(build_scene())
+    st = sim.settle(sim.init_state()._replace(day_time=jnp.float32(args.day)))
+    scene_f, lights, ambient = jax.jit(sim.derive_frame)(scene, st)
+    rays = jax.jit(sim.camera_rays, static_argnums=1)(st.cam, w / h)
+
+    def make(tc, sc, th, tw):
+        fn = jax.jit(lambda: render_base_planes_pallas(
+            scene_f, lights, ambient, rays, h, w, tile_h=th, tile_w=tw,
+            tri_clusters=tc, sph_clusters=sc))
+        return fn
+
+    fa = make(ta, sa, *tile_a)
+    fb = make(tb, sb, *tile_b)
+
+    def block(fn, n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        device_sync(out[0])
+        return (time.perf_counter() - t0) / n * 1e3
+
+    print(f"A: tri={ta} sph={sa} tile={tile_a}\n"
+          f"B: tri={tb} sph={sb} tile={tile_b}")
+    print("compiling A...", flush=True)
+    ia = fa()
+    print("compiling B...", flush=True)
+    ib = fb()
+    # sanity: identical pixels (culling is conservative; layout changes only
+    # reorder pad rows)
+    import numpy as np
+    for x, y in zip(ia, ib):
+        d = float(jnp.max(jnp.abs(x - y)))
+        assert d == 0.0 or d < 1e-5, f"outputs differ: max {d}"
+    block(fa, 3)
+    block(fb, 3)
+    A, B = [], []
+    for r in range(args.reps):
+        A.append(block(fa, args.n))
+        B.append(block(fb, args.n))
+        print(f"rep {r}: A {A[-1]:.2f} ms   B {B[-1]:.2f} ms", flush=True)
+    print(f"median A {statistics.median(A):.2f} ms   "
+          f"B {statistics.median(B):.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

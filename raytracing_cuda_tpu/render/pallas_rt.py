@@ -91,7 +91,7 @@ P_SEAY = 32          # sea plane height
 P_ROW0 = 33          # global row offset of this shard's band (f32-exact int;
                      # lives in SMEM so ONE compiled kernel serves every band)
 P_CLUSTERS = 36      # up to MAX_CLUSTERS x (cx, cy, cz, r) cluster bounds:
-MAX_CLUSTERS = 10    # triangle clusters first, then sphere clusters
+MAX_CLUSTERS = 16    # triangle clusters first, then sphere clusters
 N_PARAMS = P_CLUSTERS + 4 * MAX_CLUSTERS
 
 

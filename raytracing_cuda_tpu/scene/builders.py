@@ -253,11 +253,11 @@ def build_objects() -> _SceneAccum:
         off = (np.array([ox, level, oz], f32) * d).astype(f32)
         create_mountain(s, off, f32(size) * d, angle)
 
-    # Same 12 mountains as scene.cpp:464-479, built in spatially-grouped
-    # order (east / south / west / north triples) so ISLAND_TRI_CLUSTERS can
-    # carve them into four contiguous clusters with tight bounding spheres —
-    # a typical view frustum tile then culls 2-3 of the groups. Object order
-    # only matters at exact-t ties between DIFFERENT mountains (degenerate).
+    # Same 12 mountains as scene.cpp:464-479, built walking the ring
+    # (east → south → west → north) so ISLAND_TRI_CLUSTERS can carve them
+    # into contiguous ADJACENT PAIRS with tight bounding spheres — a typical
+    # view or shadow tile then culls most of the ring. Object order only
+    # matters at exact-t ties between DIFFERENT mountains (degenerate).
     mnt(170, 0, 100, 0)     # east
     mnt(100, 30, 70, 0)
     mnt(100, -40, 50, 30)
@@ -374,11 +374,17 @@ CLASSIC_CAMERA = dict(pos=(55.0, 14.0, -3.0), hor_angle=180.0,
 
 # Static cluster partitions for the island scene (contiguous in build
 # order) — drive per-tile bounding-sphere culling in the Pallas kernel:
-#   triangles: island box (10) + trees (48), then the 12 mountains as four
-#   spatially-grouped triples (12 tris each, see build_objects);
+#   triangles: island box (10), each tree alone (6 x 8 tris), then the 12
+#   ring-ordered mountains as six adjacent PAIRS (6 x 8 tris) — every
+#   cluster is a multiple of the 8-row sublane pad, so the sweep carries
+#   zero padding rows, and the tight per-tree / per-pair bounds let a
+#   typical view or shadow tile cull most of the scene (interleaved A/B at
+#   720p: 13.18 -> 11.98 ms for mountain pairs, -> 10.97 ms adding per-tree
+#   clusters; splitting the 24 snowman/igloo spheres measured SLOWER —
+#   11.54 ms — because 11-sphere clusters pad to 16 rows);
 #   spheres: snowmen + igloo (24, shadow-casting), then the emissive
 #   sun/moon proxies (2, statically excluded from occlusion sweeps).
-ISLAND_TRI_CLUSTERS = (58, 12, 12, 12, 12)
+ISLAND_TRI_CLUSTERS = (10, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8)
 ISLAND_SPH_CLUSTERS = ((24, True), (2, False))
 TRI_CLUSTERS = {"island": ISLAND_TRI_CLUSTERS, "classic": None}
 SPH_CLUSTERS = {"island": ISLAND_SPH_CLUSTERS, "classic": None}

@@ -103,3 +103,21 @@ def test_compact_consistency(scene):
     np.testing.assert_array_equal(scene.obj_type[scene.sph_gidx], SPHERE)
     np.testing.assert_array_equal(scene.obj_type[scene.tri_gidx], TRIANGLE)
     np.testing.assert_allclose(scene.center[scene.sph_gidx], scene.sph_pos)
+
+
+def test_cluster_partitions_cover_scene_with_zero_padding(scene):
+    """The static cluster tuples must tile the compact arrays exactly, and
+    every count must be a multiple of the 8-row sublane pad — padding rows
+    sweep at full cost (docs/PERFORMANCE.md: fine zero-pad clusters measured
+    13.2 -> 11.0 ms; a single padded 11-row cluster regressed it)."""
+    from raytracing_cuda_tpu.render.pallas_rt import MAX_CLUSTERS
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    assert sum(ISLAND_TRI_CLUSTERS) == scene.tri_gidx.shape[0]
+    assert sum(c for c, _ in ISLAND_SPH_CLUSTERS) == scene.sph_gidx.shape[0]
+    # island box (10) is the only non-multiple-of-8 cluster (pads to 16)
+    assert all(c % 8 == 0 for c in ISLAND_TRI_CLUSTERS[1:])
+    assert len(ISLAND_TRI_CLUSTERS) + len(ISLAND_SPH_CLUSTERS) <= MAX_CLUSTERS
+    # emissive sun/moon proxy cluster must stay shadow-inert and last
+    assert ISLAND_SPH_CLUSTERS[-1] == (2, False)
