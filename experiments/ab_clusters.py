@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--reps", type=int, default=7)
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--max-clusters", type=int, default=None)
+    ap.add_argument("--t-bound-a", type=int, default=1)
+    ap.add_argument("--t-bound-b", type=int, default=1)
     args = ap.parse_args()
 
     if args.max_clusters:
@@ -70,22 +72,23 @@ def main():
     sa, sb = sph(args.sph_a), sph(args.sph_b)
     tile_a = tile(args.tile_a)
     tile_b = tile(args.tile_b) if args.tile_b else tile_a
-    if args.b is None and args.tile_b is None and args.sph_b is None:
-        raise SystemExit("give --b, --sph-b or --tile-b")
+    if (args.b is None and args.tile_b is None and args.sph_b is None
+            and args.t_bound_a == args.t_bound_b):
+        raise SystemExit("give --b, --sph-b, --tile-b or differing --t-bound-*")
 
     scene = jax.device_put(build_scene())
     st = sim.settle(sim.init_state()._replace(day_time=jnp.float32(args.day)))
     scene_f, lights, ambient = jax.jit(sim.derive_frame)(scene, st)
     rays = jax.jit(sim.camera_rays, static_argnums=1)(st.cam, w / h)
 
-    def make(tc, sc, th, tw):
+    def make(tc, sc, th, tw, tbf):
         fn = jax.jit(lambda: render_base_planes_pallas(
             scene_f, lights, ambient, rays, h, w, tile_h=th, tile_w=tw,
-            tri_clusters=tc, sph_clusters=sc))
+            tri_clusters=tc, sph_clusters=sc, t_bound=bool(tbf)))
         return fn
 
-    fa = make(ta, sa, *tile_a)
-    fb = make(tb, sb, *tile_b)
+    fa = make(ta, sa, *tile_a, args.t_bound_a)
+    fb = make(tb, sb, *tile_b, args.t_bound_b)
 
     def block(fn, n):
         t0 = time.perf_counter()

@@ -350,7 +350,7 @@ def _ival_prod(alo, ahi, blo, bhi):
     return lo, hi
 
 
-def _cluster_possible(cx, cy, cz, r, obox, dbox):
+def _cluster_possible(cx, cy, cz, r, obox, dbox, t_hi=None):
     """Sound per-tile cull: can ANY ray with origin in obox and direction
     in dbox intersect the bounding sphere (c, r)?
 
@@ -358,6 +358,12 @@ def _cluster_possible(cx, cy, cz, r, obox, dbox):
     origin box may touch the sphere, or the sphere may lie ahead
     (tca_hi > 0) with squared miss distance possibly below r². Ignoring the
     correlation between |L|² and tca only widens the answer (conservative).
+
+    t_hi (optional scalar): an upper bound on the t any lane in the tile
+    still cares about (best-known hit for primary sweeps, farthest needed
+    light for shadow sweeps). Every accepted sphere-bound hit has
+    t ≥ tca − r ≥ tlo − r, so a cluster wholly beyond t_hi can't win
+    (directions are unit vectors, so t is Euclidean distance).
     """
     (oxlo, oxhi, oylo, oyhi, ozlo, ozhi) = obox
     (dxlo, dxhi, dylo, dyhi, dzlo, dzhi) = dbox
@@ -382,6 +388,8 @@ def _cluster_possible(cx, cy, cz, r, obox, dbox):
     d2_lo = ll_lo - tca2_hi
     inside = ll_lo <= r2
     ahead = (thi > 0) & (d2_lo <= r2)
+    if t_hi is not None:
+        ahead = ahead & (tlo - r <= t_hi)
     return inside | ahead
 
 
@@ -426,7 +434,7 @@ def _sph_occ_partial(Csk, ox, oy, oz, dx, dy, dz, max_dist):
 
 
 def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
-                 total_w=None):
+                 total_w=None, t_bound=True):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -527,10 +535,24 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 return (jnp.full((TH, TW), BIG, f32),
                         jnp.full((TH, TW), 1e9, f32)) + (z,) * 10
 
+            # sea plane candidate FIRST (cheap 2D math, unconditional): its
+            # max t over live lanes bounds every cluster cull below — a
+            # ground/sea tile whose every lane already hits the plane at
+            # t≈20 skips the mountain ring 300+ units out entirely. One
+            # reduce, shared by all conds (a per-cluster chained reduce
+            # measured −9%: see docs/PERFORMANCE.md "shadow-cluster early
+            # exit"). Dead lanes contribute 0; a live lane that misses the
+            # plane contributes BIG and disables the bound for the tile.
+            t_pl = _plane_t(oy, dy, sea_y)
+            pl_hit = jnp.where(t_pl < BIG * 0.5, 1.0, 0.0)
+            pl_attrs = tuple(pl_hit * Cp[0, c] for c in ATTR_CHANNELS)
+            t_hi = jnp.max(live * t_pl) if t_bound else None
+
             ray_args = (ox, oy, oz, dx, dy, dz, mx, my, mz)
-            candidates = []
+            candidates = [(t_pl, jnp.where(pl_hit > 0, 0.0, 1e9)) + pl_attrs]
             for kk, Ctk in enumerate(Ct_list):
-                poss = _cluster_possible(*cluster_bound(kk), obox, dbox)
+                poss = _cluster_possible(*cluster_bound(kk), obox, dbox,
+                                         t_hi)
 
                 def sweep_k(args, Ctk=Ctk):
                     ox, oy, oz, dx, dy, dz, mx, my, mz = args
@@ -544,7 +566,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
 
             for kk, Csk in enumerate(Cs_list):
                 poss = _cluster_possible(
-                    *cluster_bound(len(t_pads) + kk), obox, dbox)
+                    *cluster_bound(len(t_pads) + kk), obox, dbox, t_hi)
 
                 def sweep_s(args, Csk=Csk):
                     ox, oy, oz, dx, dy, dz, mx, my, mz = args
@@ -554,13 +576,6 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
 
                 candidates.append(jax.lax.cond(
                     any_live & poss, sweep_s, group_skip, ray_args))
-
-            # sea plane candidate (cheap 2D math, unconditional)
-            t_pl = _plane_t(oy, dy, sea_y)
-            pl_hit = jnp.where(t_pl < BIG * 0.5, 1.0, 0.0)
-            pl_attrs = tuple(pl_hit * Cp[0, c] for c in ATTR_CHANNELS)
-            candidates.append((t_pl, jnp.where(pl_hit > 0, 0.0, 1e9))
-                              + pl_attrs)
 
             # --- cross-group combine: lexicographic (t, gidx) winner ---
             t_min = candidates[0][0]
@@ -628,9 +643,13 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 occ_f = jnp.zeros((TH, TW), f32)
                 shadow_args = (sox, soy, soz, sdx, sdy, sdz, smx, smy, smz,
                                sdist)
+                # occluders matter only at t < the lane's light distance;
+                # one reduce over the lanes that still need this light
+                # bounds every shadow-cluster cull
+                t_hi_s = jnp.max(need * sdist) if t_bound else None
                 for kk, Ctk in enumerate(Ct_list):
                     poss = _cluster_possible(*cluster_bound(kk), hbox,
-                                             sdbox)
+                                             sdbox, t_hi_s)
 
                     def occ_k(args, Ctk=Ctk):
                         (sox, soy, soz, sdx, sdy, sdz,
@@ -648,7 +667,8 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                         continue        # emissive-only cluster (sun/moon
                     #                     proxies): statically shadow-inert
                     poss = _cluster_possible(
-                        *cluster_bound(len(t_pads) + kk), hbox, sdbox)
+                        *cluster_bound(len(t_pads) + kk), hbox, sdbox,
+                        t_hi_s)
 
                     def occ_s(args, Csk=Csk):
                         (sox, soy, soz, sdx, sdy, sdz,
@@ -775,13 +795,14 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "H", "W", "TH", "TW", "t_pads", "s_pads", "s_occl", "interpret",
-    "total_h", "total_w"))
+    "total_h", "total_w", "t_bound"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pads: tuple, s_occl: tuple,
                           TH: int = 16, TW: int = 256,
                           interpret: bool = False,
                           total_h: int | None = None,
-                          total_w: int | None = None):
+                          total_w: int | None = None,
+                          t_bound: bool = True):
     """Render a BATCH of frames in one launch.
 
     coefs (K, N_OBJ_PAD, 1, C), params (K, N_PARAMS) → 7 planes of
@@ -793,7 +814,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
     out = jax.ShapeDtypeStruct((K, H, W), f32)
     tile = lambda f, i, j: (f, i, j)
     kernel = _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h,
-                          total_w)
+                          total_w, t_bound)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -821,11 +842,11 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
                     s_pads: tuple, s_occl: tuple,
                     TH: int = 16, TW: int = 256, interpret: bool = False,
                     total_h: int | None = None,
-                    total_w: int | None = None):
+                    total_w: int | None = None, t_bound: bool = True):
     """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
     planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
                                    s_pads, s_occl, TH, TW, interpret,
-                                   total_h, total_w)
+                                   total_h, total_w, t_bound)
     return tuple(p[0] for p in planes)
 
 
@@ -834,7 +855,8 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               tile_w: int = 256, interpret: bool = False,
                               tri_clusters: tuple | None = None,
                               sph_clusters: tuple | None = None,
-                              row0=0, total_height: int | None = None):
+                              row0=0, total_height: int | None = None,
+                              t_bound: bool = True):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
 
     tri_clusters: optional static partition of the triangle list (contiguous
@@ -860,7 +882,7 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pads,
                              s_occl, tile_h, tile_w, interpret,
                              total_height if total_height is not None
-                             else height, width)
+                             else height, width, t_bound)
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:height, :width] for p in planes)
     return planes

@@ -126,6 +126,28 @@ def test_pallas_clustered_matches_oracle(scene, sky):
         assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
 
 
+def test_pallas_t_bound_identical(scene, sky):
+    """The t-bound cluster cull (skip clusters wholly beyond the tile's
+    worst-case needed t) is conservative: outputs must be bit-identical
+    with the bound on and off, across hit-heavy and sky-heavy states."""
+    from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    for case in (CASES[0], CASES[2]):
+        st = _state(**case)
+        scene_f, lights, ambient = sim.derive_frame(scene, st)
+        rays = sim.camera_rays(st.cam, W / H)
+        kw = dict(tri_clusters=ISLAND_TRI_CLUSTERS,
+                  sph_clusters=ISLAND_SPH_CLUSTERS, interpret=True)
+        a = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                      t_bound=True, **kw)
+        b = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                      t_bound=False, **kw)
+        for pa, pb in zip(a, b):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_batch_render_matches_sequential(scene, sky):
     """render_frames_batch (one kernel launch for K frames) must match the
     sequential per-frame renders."""
