@@ -176,9 +176,15 @@ def main():
         del eng_small
 
         # 2. Frozen island sea-level sweep (same compiled program, sea_y is
-        # a traced scalar — times should be flat across levels)
-        sweep_ms = [time_frames(eng, preset_state(cam_preset=0, sea=s), n=10) * 1e3
-                    for s in (-4.5, -2.0, 0.0, 2.0)]
+        # a traced scalar). Two passes, per-level min: the first timed
+        # window on a fresh engine carries residual warm-up (executable
+        # load, sky-cache fill) that warmup frames don't fully absorb on
+        # this tunnel. Levels need not be flat — culling makes the exposed
+        # island genuinely costlier than the flooded one.
+        levels = (-4.5, -2.0, 0.0, 2.0)
+        sweep_ms = [min(time_frames(eng, preset_state(cam_preset=0, sea=s),
+                                    n=10) * 1e3 for _ in range(2))
+                    for s in levels]
         details["island_sea_sweep_ms"] = [round(v, 2) for v in sweep_ms]
 
         # 3. FXAA on/off at full size — interleaved A/B (the ~2 ms FXAA pass

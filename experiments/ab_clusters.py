@@ -41,11 +41,15 @@ def main():
     ap.add_argument("--tile-b", default=None)
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--day", type=float, default=14.0)
+    ap.add_argument("--cam", type=int, default=None,
+                    help="camera preset (0=island, 1=mountains)")
     ap.add_argument("--reps", type=int, default=7)
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--max-clusters", type=int, default=None)
     ap.add_argument("--t-bound-a", type=int, default=1)
     ap.add_argument("--t-bound-b", type=int, default=1)
+    ap.add_argument("--split-a", type=int, default=1)
+    ap.add_argument("--split-b", type=int, default=1)
     args = ap.parse_args()
 
     if args.max_clusters:
@@ -73,22 +77,32 @@ def main():
     tile_a = tile(args.tile_a)
     tile_b = tile(args.tile_b) if args.tile_b else tile_a
     if (args.b is None and args.tile_b is None and args.sph_b is None
-            and args.t_bound_a == args.t_bound_b):
-        raise SystemExit("give --b, --sph-b, --tile-b or differing --t-bound-*")
+            and args.t_bound_a == args.t_bound_b
+            and args.split_a == args.split_b):
+        raise SystemExit("give --b, --sph-b, --tile-b or a differing "
+                         "--t-bound-*/--split-*")
 
     scene = jax.device_put(build_scene())
-    st = sim.settle(sim.init_state()._replace(day_time=jnp.float32(args.day)))
+    st = sim.init_state()._replace(day_time=jnp.float32(args.day))
+    if args.cam is not None:
+        import numpy as np
+        from raytracing_cuda_tpu.sim.actions import Action
+        st = sim.apply_controls(
+            st, Action.idle()._replace(cam_preset=np.int32(args.cam)), 0.0)
+        st = st._replace(day_time=jnp.float32(args.day))
+    st = sim.settle(st)
     scene_f, lights, ambient = jax.jit(sim.derive_frame)(scene, st)
     rays = jax.jit(sim.camera_rays, static_argnums=1)(st.cam, w / h)
 
-    def make(tc, sc, th, tw, tbf):
+    def make(tc, sc, th, tw, tbf, split):
         fn = jax.jit(lambda: render_base_planes_pallas(
             scene_f, lights, ambient, rays, h, w, tile_h=th, tile_w=tw,
-            tri_clusters=tc, sph_clusters=sc, t_bound=bool(tbf)))
+            tri_clusters=tc, sph_clusters=sc, t_bound=bool(tbf),
+            lane_split=split))
         return fn
 
-    fa = make(ta, sa, *tile_a, args.t_bound_a)
-    fb = make(tb, sb, *tile_b, args.t_bound_b)
+    fa = make(ta, sa, *tile_a, args.t_bound_a, args.split_a)
+    fb = make(tb, sb, *tile_b, args.t_bound_b, args.split_b)
 
     def block(fn, n):
         t0 = time.perf_counter()

@@ -434,7 +434,7 @@ def _sph_occ_partial(Csk, ox, oy, oz, dx, dy, dz, max_dist):
 
 
 def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
-                 total_w=None, t_bound=True):
+                 total_w=None, t_bound=True, lane_split=1):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -522,74 +522,101 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
             never had."""
             (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
              mw, mdx, mdy, mdz) = carry
-            any_live = jnp.max(live) > 0
 
             mx = oy * dz - oz * dy          # m = o×d
             my = oz * dx - ox * dz
             mz = ox * dy - oy * dx
-            obox = _box(ox) + _box(oy) + _box(oz)
-            dbox = _box(dx) + _box(dy) + _box(dz)
+
+            # lane-split culling: predicates, liveness reduces and sweeps
+            # run per TWB-lane band (TWB = TW // lane_split; 128-lane bands
+            # keep slices register-aligned). The combine is lanewise, so
+            # banding + concat is bit-identical to the full-tile form; the
+            # per-band ray boxes and t-bounds are strictly tighter, and a
+            # cluster touching only one band no longer sweeps the other.
+            TWB = TW // lane_split
+            bsl = lambda x, s: x[:, s * TWB:(s + 1) * TWB] \
+                if lane_split > 1 else x
 
             def group_skip(args):
-                z = jnp.zeros((TH, TW), f32)
-                return (jnp.full((TH, TW), BIG, f32),
-                        jnp.full((TH, TW), 1e9, f32)) + (z,) * 10
+                z = jnp.zeros((TH, TWB), f32)
+                return (jnp.full((TH, TWB), BIG, f32),
+                        jnp.full((TH, TWB), 1e9, f32)) + (z,) * 10
 
             # sea plane candidate FIRST (cheap 2D math, unconditional): its
             # max t over live lanes bounds every cluster cull below — a
             # ground/sea tile whose every lane already hits the plane at
             # t≈20 skips the mountain ring 300+ units out entirely. One
-            # reduce, shared by all conds (a per-cluster chained reduce
-            # measured −9%: see docs/PERFORMANCE.md "shadow-cluster early
-            # exit"). Dead lanes contribute 0; a live lane that misses the
-            # plane contributes BIG and disables the bound for the tile.
+            # reduce per band, shared by all of its conds (a per-cluster
+            # chained reduce measured −9%: see docs/PERFORMANCE.md
+            # "shadow-cluster early exit"). Dead lanes contribute 0; a live
+            # lane that misses the plane contributes BIG and disables the
+            # bound for its band.
             t_pl = _plane_t(oy, dy, sea_y)
             pl_hit = jnp.where(t_pl < BIG * 0.5, 1.0, 0.0)
             pl_attrs = tuple(pl_hit * Cp[0, c] for c in ATTR_CHANNELS)
-            t_hi = jnp.max(live * t_pl) if t_bound else None
 
-            ray_args = (ox, oy, oz, dx, dy, dz, mx, my, mz)
-            candidates = [(t_pl, jnp.where(pl_hit > 0, 0.0, 1e9)) + pl_attrs]
-            for kk, Ctk in enumerate(Ct_list):
-                poss = _cluster_possible(*cluster_bound(kk), obox, dbox,
-                                         t_hi)
+            band_combined = []
+            for s in range(lane_split):
+                oxs, oys, ozs = bsl(ox, s), bsl(oy, s), bsl(oz, s)
+                dxs, dys, dzs = bsl(dx, s), bsl(dy, s), bsl(dz, s)
+                lives = bsl(live, s)
+                any_live = jnp.max(lives) > 0
+                obox = _box(oxs) + _box(oys) + _box(ozs)
+                dbox = _box(dxs) + _box(dys) + _box(dzs)
+                t_pls = bsl(t_pl, s)
+                t_hi = jnp.max(lives * t_pls) if t_bound else None
+                ray_args = (oxs, oys, ozs, dxs, dys, dzs,
+                            bsl(mx, s), bsl(my, s), bsl(mz, s))
+                candidates = [(t_pls, jnp.where(bsl(pl_hit, s) > 0, 0.0, 1e9))
+                              + tuple(bsl(a, s) for a in pl_attrs)]
+                for kk, Ctk in enumerate(Ct_list):
+                    poss = _cluster_possible(*cluster_bound(kk), obox, dbox,
+                                             t_hi)
 
-                def sweep_k(args, Ctk=Ctk):
-                    ox, oy, oz, dx, dy, dz, mx, my, mz = args
-                    t_k = _tri_t(Ctk, ox[None], oy[None], oz[None],
-                                 dx[None], dy[None], dz[None],
-                                 mx[None], my[None], mz[None])
-                    return _local_reduce(Ctk, t_k)
+                    def sweep_k(args, Ctk=Ctk):
+                        ox, oy, oz, dx, dy, dz, mx, my, mz = args
+                        t_k = _tri_t(Ctk, ox[None], oy[None], oz[None],
+                                     dx[None], dy[None], dz[None],
+                                     mx[None], my[None], mz[None])
+                        return _local_reduce(Ctk, t_k)
 
-                candidates.append(jax.lax.cond(
-                    any_live & poss, sweep_k, group_skip, ray_args))
+                    candidates.append(jax.lax.cond(
+                        any_live & poss, sweep_k, group_skip, ray_args))
 
-            for kk, Csk in enumerate(Cs_list):
-                poss = _cluster_possible(
-                    *cluster_bound(len(t_pads) + kk), obox, dbox, t_hi)
+                for kk, Csk in enumerate(Cs_list):
+                    poss = _cluster_possible(
+                        *cluster_bound(len(t_pads) + kk), obox, dbox, t_hi)
 
-                def sweep_s(args, Csk=Csk):
-                    ox, oy, oz, dx, dy, dz, mx, my, mz = args
-                    t_s = _sph_t(Csk, ox[None], oy[None], oz[None],
-                                 dx[None], dy[None], dz[None])
-                    return _local_reduce(Csk, t_s)
+                    def sweep_s(args, Csk=Csk):
+                        ox, oy, oz, dx, dy, dz, mx, my, mz = args
+                        t_s = _sph_t(Csk, ox[None], oy[None], oz[None],
+                                     dx[None], dy[None], dz[None])
+                        return _local_reduce(Csk, t_s)
 
-                candidates.append(jax.lax.cond(
-                    any_live & poss, sweep_s, group_skip, ray_args))
+                    candidates.append(jax.lax.cond(
+                        any_live & poss, sweep_s, group_skip, ray_args))
 
-            # --- cross-group combine: lexicographic (t, gidx) winner ---
-            t_min = candidates[0][0]
-            for cand in candidates[1:]:
-                t_min = jnp.minimum(t_min, cand[0])
-            win_g = jnp.full((TH, TW), 1e9, f32)
-            for cand in candidates:
-                win_g = jnp.minimum(
-                    win_g, jnp.where(cand[0] == t_min, cand[1], f32(1e9)))
-            picked = [jnp.zeros((TH, TW), f32) for _ in ATTR_CHANNELS]
-            for cand in candidates:
-                sel = jnp.where((cand[0] == t_min) & (cand[1] == win_g),
-                                1.0, 0.0)
-                picked = [p + sel * a for p, a in zip(picked, cand[2:])]
+                # --- cross-group combine: lexicographic (t, gidx) winner ---
+                t_min = candidates[0][0]
+                for cand in candidates[1:]:
+                    t_min = jnp.minimum(t_min, cand[0])
+                win_g = jnp.full((TH, TWB), 1e9, f32)
+                for cand in candidates:
+                    win_g = jnp.minimum(
+                        win_g, jnp.where(cand[0] == t_min, cand[1], f32(1e9)))
+                picked = [jnp.zeros((TH, TWB), f32) for _ in ATTR_CHANNELS]
+                for cand in candidates:
+                    sel = jnp.where((cand[0] == t_min) & (cand[1] == win_g),
+                                    1.0, 0.0)
+                    picked = [p + sel * a for p, a in zip(picked, cand[2:])]
+                band_combined.append([t_min] + picked)
+
+            if lane_split > 1:
+                t_min, *picked = (
+                    jnp.concatenate(parts, axis=1)
+                    for parts in zip(*band_combined))
+            else:
+                (t_min, *picked), = band_combined
             (colr, colg, colb, shine, spec_e, kr, flags,
              nvx, nvy, nvz) = picked
             hit_f = jnp.where(t_min < BIG * 0.5, 1.0, 0.0)
@@ -616,9 +643,9 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
             shaded_f = live * hit_f * (1.0 - em_f)
 
             # per-light geometry stays unconditional (the shadow `need`
-            # masks want the angles); shadowed angles collected per light
-            hbox = _box(hx) + _box(hy) + _box(hz)
-            zero2d = lambda a: jnp.zeros((TH, TW), f32)
+            # masks want the angles); shadowed angles collected per light.
+            # Occlusion sweeps run per lane band, like the primary sweeps.
+            zero2d = lambda a: jnp.zeros((TH, TWB), f32)
             angles = []
             sdirs = []
             for li in range(2):
@@ -631,8 +658,6 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 sdx, sdy, sdz = lvx * inv, lvy * inv, lvz * inv
                 angle = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
                 need = shaded_f * jnp.where(angle > 0, 1.0, 0.0)
-                any_need = jnp.max(need) > 0
-                sdbox = _box(sdx) + _box(sdy) + _box(sdz)
 
                 sox, soy, soz = (hx + sdx * 0.001, hy + sdy * 0.001,
                                  hz + sdz * 0.001)
@@ -640,53 +665,69 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 smy = soz * sdx - sox * sdz
                 smz = sox * sdy - soy * sdx
 
-                occ_f = jnp.zeros((TH, TW), f32)
-                shadow_args = (sox, soy, soz, sdx, sdy, sdz, smx, smy, smz,
-                               sdist)
-                # occluders matter only at t < the lane's light distance;
-                # one reduce over the lanes that still need this light
-                # bounds every shadow-cluster cull
-                t_hi_s = jnp.max(need * sdist) if t_bound else None
-                for kk, Ctk in enumerate(Ct_list):
-                    poss = _cluster_possible(*cluster_bound(kk), hbox,
-                                             sdbox, t_hi_s)
+                occ_bands = []
+                for s in range(lane_split):
+                    needs = bsl(need, s)
+                    any_need = jnp.max(needs) > 0
+                    hbox = (_box(bsl(hx, s)) + _box(bsl(hy, s))
+                            + _box(bsl(hz, s)))
+                    sdxs, sdys, sdzs = bsl(sdx, s), bsl(sdy, s), bsl(sdz, s)
+                    sdbox = _box(sdxs) + _box(sdys) + _box(sdzs)
+                    sdists = bsl(sdist, s)
+                    shadow_args = (bsl(sox, s), bsl(soy, s), bsl(soz, s),
+                                   sdxs, sdys, sdzs,
+                                   bsl(smx, s), bsl(smy, s), bsl(smz, s),
+                                   sdists)
+                    # occluders matter only at t < the lane's light
+                    # distance; one reduce over the band's lanes that still
+                    # need this light bounds every shadow-cluster cull
+                    t_hi_s = jnp.max(needs * sdists) if t_bound else None
+                    occ_f = jnp.zeros((TH, TWB), f32)
+                    for kk, Ctk in enumerate(Ct_list):
+                        poss = _cluster_possible(*cluster_bound(kk), hbox,
+                                                 sdbox, t_hi_s)
 
-                    def occ_k(args, Ctk=Ctk):
-                        (sox, soy, soz, sdx, sdy, sdz,
-                         smx, smy, smz, sdist) = args
-                        return _tri_occ_partial(
-                            Ctk, sox[None], soy[None], soz[None],
-                            sdx[None], sdy[None], sdz[None],
-                            smx[None], smy[None], smz[None], sdist)
+                        def occ_k(args, Ctk=Ctk):
+                            (sox, soy, soz, sdx, sdy, sdz,
+                             smx, smy, smz, sdist) = args
+                            return _tri_occ_partial(
+                                Ctk, sox[None], soy[None], soz[None],
+                                sdx[None], sdy[None], sdz[None],
+                                smx[None], smy[None], smz[None], sdist)
+
+                        occ_f = occ_f + jax.lax.cond(
+                            any_need & poss, occ_k, zero2d, shadow_args)
+
+                    for kk, Csk in enumerate(Cs_list):
+                        if not s_occl[kk]:
+                            continue    # emissive-only cluster (sun/moon
+                        #                 proxies): statically shadow-inert
+                        poss = _cluster_possible(
+                            *cluster_bound(len(t_pads) + kk), hbox, sdbox,
+                            t_hi_s)
+
+                        def occ_s(args, Csk=Csk):
+                            (sox, soy, soz, sdx, sdy, sdz,
+                             smx, smy, smz, sdist) = args
+                            return _sph_occ_partial(
+                                Csk, sox[None], soy[None], soz[None],
+                                sdx[None], sdy[None], sdz[None], sdist)
+
+                        occ_f = occ_f + jax.lax.cond(
+                            any_need & poss, occ_s, zero2d, shadow_args)
+
+                    def occ_pl(args):
+                        soy, sdy, sdist = args
+                        return jnp.where(_plane_t(soy, sdy, sea_y) < sdist,
+                                         1.0, 0.0)
 
                     occ_f = occ_f + jax.lax.cond(
-                        any_need & poss, occ_k, zero2d, shadow_args)
+                        any_need, occ_pl, zero2d,
+                        (bsl(soy, s), bsl(sdy, s), sdists))
+                    occ_bands.append(occ_f)
 
-                for kk, Csk in enumerate(Cs_list):
-                    if not s_occl[kk]:
-                        continue        # emissive-only cluster (sun/moon
-                    #                     proxies): statically shadow-inert
-                    poss = _cluster_possible(
-                        *cluster_bound(len(t_pads) + kk), hbox, sdbox,
-                        t_hi_s)
-
-                    def occ_s(args, Csk=Csk):
-                        (sox, soy, soz, sdx, sdy, sdz,
-                         smx, smy, smz, sdist) = args
-                        return _sph_occ_partial(
-                            Csk, sox[None], soy[None], soz[None],
-                            sdx[None], sdy[None], sdz[None], sdist)
-
-                    occ_f = occ_f + jax.lax.cond(
-                        any_need & poss, occ_s, zero2d, shadow_args)
-
-                def occ_pl(args):
-                    soy, sdy, sdist = args
-                    return jnp.where(_plane_t(soy, sdy, sea_y) < sdist,
-                                     1.0, 0.0)
-
-                occ_f = occ_f + jax.lax.cond(
-                    any_need, occ_pl, zero2d, (soy, sdy, sdist))
+                occ_f = (jnp.concatenate(occ_bands, axis=1)
+                         if lane_split > 1 else occ_bands[0])
                 angles.append(jnp.where(occ_f > 0, 0.0, angle))
                 sdirs.append((sdx, sdy, sdz))
 
@@ -795,14 +836,14 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "H", "W", "TH", "TW", "t_pads", "s_pads", "s_occl", "interpret",
-    "total_h", "total_w", "t_bound"))
+    "total_h", "total_w", "t_bound", "lane_split"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pads: tuple, s_occl: tuple,
                           TH: int = 16, TW: int = 256,
                           interpret: bool = False,
                           total_h: int | None = None,
                           total_w: int | None = None,
-                          t_bound: bool = True):
+                          t_bound: bool = True, lane_split: int = 1):
     """Render a BATCH of frames in one launch.
 
     coefs (K, N_OBJ_PAD, 1, C), params (K, N_PARAMS) → 7 planes of
@@ -814,7 +855,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
     out = jax.ShapeDtypeStruct((K, H, W), f32)
     tile = lambda f, i, j: (f, i, j)
     kernel = _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h,
-                          total_w, t_bound)
+                          total_w, t_bound, lane_split)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -842,11 +883,12 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
                     s_pads: tuple, s_occl: tuple,
                     TH: int = 16, TW: int = 256, interpret: bool = False,
                     total_h: int | None = None,
-                    total_w: int | None = None, t_bound: bool = True):
+                    total_w: int | None = None, t_bound: bool = True,
+                    lane_split: int = 1):
     """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
     planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
                                    s_pads, s_occl, TH, TW, interpret,
-                                   total_h, total_w, t_bound)
+                                   total_h, total_w, t_bound, lane_split)
     return tuple(p[0] for p in planes)
 
 
@@ -856,7 +898,7 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               tri_clusters: tuple | None = None,
                               sph_clusters: tuple | None = None,
                               row0=0, total_height: int | None = None,
-                              t_bound: bool = True):
+                              t_bound: bool = True, lane_split: int = 1):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
 
     tri_clusters: optional static partition of the triangle list (contiguous
@@ -866,7 +908,14 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     proxies). Each cluster gets a bounding sphere and per-tile interval
     culling in the kernel; None treats the whole class as one cluster.
     row0 may be a traced scalar (it rides the SMEM params vector), so
-    sharded bands share one compiled kernel."""
+    sharded bands share one compiled kernel.
+
+    t_bound (default on): clusters wholly beyond the tile's worst-case
+    needed t (sea-plane hit for primary sweeps, farthest needed light for
+    shadows) are culled — measured −2.2% at 720p. lane_split: run culls +
+    sweeps per TW/lane_split-lane band; bit-identical but measured −23%
+    at 720p on the tunnel (relayout + cond overhead), kept at 1; re-test
+    on dedicated silicon (docs/PERFORMANCE.md)."""
     coef = pack_scene(scene, tri_clusters, sph_clusters)
     params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1],
                          row0=row0)
@@ -879,10 +928,11 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     # at the next tile multiple and crop (the padded rays are harmless)
     h_pad = _round_up(height, tile_h)
     w_pad = _round_up(width, tile_w)
+    assert tile_w % lane_split == 0
     planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pads,
                              s_occl, tile_h, tile_w, interpret,
                              total_height if total_height is not None
-                             else height, width, t_bound)
+                             else height, width, t_bound, lane_split)
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:height, :width] for p in planes)
     return planes

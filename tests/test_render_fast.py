@@ -128,8 +128,9 @@ def test_pallas_clustered_matches_oracle(scene, sky):
 
 def test_pallas_t_bound_identical(scene, sky):
     """The t-bound cluster cull (skip clusters wholly beyond the tile's
-    worst-case needed t) is conservative: outputs must be bit-identical
-    with the bound on and off, across hit-heavy and sky-heavy states."""
+    worst-case needed t) is conservative, and the lane-split banding only
+    re-partitions lanewise math: outputs must be bit-identical with the
+    bound on/off and with lane_split=2, across hit-heavy and night states."""
     from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
     from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
                                                     ISLAND_TRI_CLUSTERS)
@@ -144,8 +145,11 @@ def test_pallas_t_bound_identical(scene, sky):
                                       t_bound=True, **kw)
         b = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
                                       t_bound=False, **kw)
-        for pa, pb in zip(a, b):
+        c = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                      t_bound=True, lane_split=2, **kw)
+        for pa, pb, pc in zip(a, b, c):
             assert np.array_equal(np.asarray(pa), np.asarray(pb))
+            assert np.array_equal(np.asarray(pa), np.asarray(pc))
 
 
 def test_batch_render_matches_sequential(scene, sky):
