@@ -134,7 +134,7 @@ def main():
                     help="only run the headline sustained loop")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--no-sky-cache", action="store_true")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     from raytracing_cuda_tpu.app.loop import Engine
@@ -214,17 +214,23 @@ def main():
     stats = eng.run(frames, action_fn=camera_path, dt=1 / 60, batch=args.batch)
     details["sustained"] = stats.as_dict()
 
-    # dispatch-quantum estimate: batch=1 pays the full per-dispatch cost
-    # every frame; batch=B amortizes it B-fold. quantum ≈ (t1-tB)/(1-1/B)
-    if args.batch > 1 and not args.skip_configs:
+    # alternate dispatch mode + quantum estimate: batch=1 (the default —
+    # pipelined per-frame dispatches, measured faster: interleaved A/B
+    # 72.97 vs 64.44 fps, experiments/ab_batch.py) vs a batch=16 lax.scan
+    # per dispatch. quantum ≈ (t1-tB)/(1-1/B); ≤0 means pipelining already
+    # hides the per-dispatch cost and the scan carry is pure overhead.
+    if not args.skip_configs:
+        alt = 16 if args.batch == 1 else 1
         eng.set_state(sim.settle(sim.init_state()))
-        n1 = min(60, frames)
-        stats1 = eng.run(n1, action_fn=camera_path, dt=1 / 60, batch=1)
-        t_b = 1e3 / stats.fps
-        t_1 = 1e3 / stats1.fps
-        details["sustained_batch1_fps"] = round(stats1.fps, 2)
+        n1 = min(64, frames)
+        stats_alt = eng.run(n1, action_fn=camera_path, dt=1 / 60, batch=alt)
+        details[f"sustained_batch{alt}_fps"] = round(stats_alt.fps, 2)
+        if args.batch == 1:
+            t_1, t_b = 1e3 / stats.fps, 1e3 / stats_alt.fps
+        else:
+            t_1, t_b = 1e3 / stats_alt.fps, 1e3 / stats.fps
         details["dispatch_quantum_ms_est"] = round(
-            (t_1 - t_b) / (1.0 - 1.0 / args.batch), 2)
+            (t_1 - t_b) / (1.0 - 1.0 / max(args.batch, alt)), 2)
 
     # 6. compiled-path parity gate vs the 720p oracle goldens
     parity_ok = True
