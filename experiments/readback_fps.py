@@ -1,0 +1,76 @@
+"""Interactive-equivalent throughput: render + host readback per frame.
+
+The sustained bench keeps frames on-device (the window blits from a host
+copy, so the interactive loop pays device→host readback of a 720p RGB
+frame every frame — ~2.8 MB over the remote tunnel). This measures the
+serialized step+render+readback rate the pygame window would see, and the
+pipelined variant where readback lags one frame behind the enqueue.
+
+  python experiments/readback_fps.py --frames 120
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from raytracing_cuda_tpu.app.loop import Engine
+from raytracing_cuda_tpu.sim.actions import Action
+from raytracing_cuda_tpu.utils.config import RenderConfig, enable_compilation_cache
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1280x720")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    w, h = (int(v) for v in args.size.split("x"))
+    eng = Engine(RenderConfig(width=w, height=h,
+                              procedural_sky_shape=(2048, 4096)))
+
+    def act(i):
+        return Action.idle()._replace(mouse_dx=np.float32(2.0 * np.sin(i * 0.02)))
+
+    # warm
+    for i in range(3):
+        np.asarray(eng.step_and_frame(act(i)))
+
+    def serialized():
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            np.asarray(eng.step_and_frame(act(i)))   # sync every frame
+        return args.frames / (time.perf_counter() - t0)
+
+    def pipelined():
+        t0 = time.perf_counter()
+        prev = None
+        for i in range(args.frames):
+            img = eng.step_and_frame(act(i))
+            if prev is not None:
+                np.asarray(prev)     # read back frame i-1 while i renders
+            prev = img
+        np.asarray(prev)
+        return args.frames / (time.perf_counter() - t0)
+
+    S, P = [], []
+    for r in range(args.reps):
+        S.append(serialized())
+        P.append(pipelined())
+        print(f"rep {r}: serialized {S[-1]:.2f} fps   "
+              f"pipelined {P[-1]:.2f} fps", flush=True)
+    print(f"median serialized {statistics.median(S):.2f} fps   "
+          f"pipelined {statistics.median(P):.2f} fps")
+
+
+if __name__ == "__main__":
+    main()
