@@ -84,6 +84,7 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
         pygame.mouse.get_rel()                 # swallow the initial jump
 
     fullscreen = False
+    pending = None          # device frame enqueued last iteration
     last = time.perf_counter()
     fps_acc, fps_n, fps_t0 = 0.0, 0, last
     frames = 0
@@ -122,11 +123,19 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
 
         now = time.perf_counter()
         dt, last = now - last, now             # updateDelta, main.cpp:255-258
-        img = np.asarray(engine.step_and_frame(poll_action(pygame, grab), dt))
-
-        surf = pygame.surfarray.make_surface(img.transpose(1, 0, 2))
-        screen.blit(surf, (0, 0))
-        pygame.display.flip()
+        # double-buffered present: enqueue this frame's render, then read
+        # back and blit the PREVIOUS frame while the device works — the
+        # one-frame display lag overlaps readback with render (measured
+        # +20% on the remote tunnel, experiments/readback_fps.py; on
+        # co-located hardware readback is sub-millisecond either way)
+        dev_img = engine.step_and_frame(poll_action(pygame, grab), dt)
+        if pending is not None:
+            img = np.asarray(pending)
+            surf = pygame.surfarray.make_surface(img.transpose(1, 0, 2))
+            if surf.get_size() == screen.get_size():
+                screen.blit(surf, (0, 0))
+                pygame.display.flip()
+        pending = dev_img
         frames += 1
 
         # FPS + clock in the title every 0.5 s (REFRESH_DELAY, main.cpp:32)
