@@ -79,17 +79,34 @@ class Engine:
         # per-frame path: a NaN sentinel forces the first frame to blend,
         # afterwards it only reruns during the 2 h day/night crossfades.
         use_cache = path.startswith("pallas") and c.sky_cache
-        if use_cache:
+        if path.startswith("pallas"):
+            # the grouped-vs-flat sky resolve depends only on the sky shape
+            # and sky_mode — NOT on whether the pre-blend cache is enabled
+            # (sky_cache=False must disable only the cache, never downgrade
+            # the resolve: the grouped path is a measured ~6 ms/frame win)
             from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
                                                             sky_cache_init)
 
             sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
             sky_grouped = (c.sky_mode == "grouped"
                            or (c.sky_mode == "auto" and grouped_sky_ok(sh, sw)))
+            if mesh is not None and sky_grouped and c.sky_mode == "auto":
+                # a band's pixel count must be sky-group-aligned for the
+                # sharded == single-chip parity contract (mesh._resolve_
+                # grouped); the cache rank must match the resolve used
+                from raytracing_cuda_tpu.parallel.mesh import AXIS
+                from raytracing_cuda_tpu.scene.textures import (
+                    sky_group_for_width)
+
+                band = c.height // mesh.shape[AXIS]
+                sky_grouped = (band * c.width) % sky_group_for_width(
+                    c.width) == 0
+        else:
+            sky_grouped = False
+        if use_cache:
             self._cached_vars, self._cached_packed = sky_cache_init(
                 self.sky_texels, grouped=sky_grouped)
         else:
-            sky_grouped = False
             self._cached_vars = jnp.zeros((0,), jnp.float32)
             self._cached_packed = jnp.zeros((0,), jnp.int32)
         interpret = path == "pallas_interpret"

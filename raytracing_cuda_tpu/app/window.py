@@ -62,11 +62,16 @@ def poll_action(pygame, grab: bool) -> Action:
     )
 
 
-def run_window(config: RenderConfig | None = None, max_frames: int | None = None):
+def run_window(config: RenderConfig | None = None, max_frames: int | None = None,
+               resize_settle_s: float = 0.35):
     """Open the interactive viewer. Blocks until ESC / window close.
 
     max_frames bounds the loop for smoke tests on headless CI (with the
-    SDL_VIDEODRIVER=dummy driver).
+    SDL_VIDEODRIVER=dummy driver). resize_settle_s debounces live window
+    resizes: a drag emits a stream of VIDEORESIZE events, and rebuilding
+    the jitted programs costs a compile per distinct size (minutes on the
+    remote TPU toolchain) — the engine is rebuilt only once the size has
+    been stable for this long.
     """
     import pygame
 
@@ -85,6 +90,8 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
 
     fullscreen = False
     pending = None          # device frame enqueued last iteration
+    resize_target = None    # debounced live-resize request
+    resize_t = 0.0
     last = time.perf_counter()
     fps_acc, fps_n, fps_t0 = 0.0, 0, last
     frames = 0
@@ -110,16 +117,27 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
 
                     try:
                         engine.set_state(load_state("raytracer_state.json"))
-                    except FileNotFoundError:
-                        pass
+                    except (FileNotFoundError, ValueError) as e:
+                        # a missing or corrupt checkpoint must not kill the
+                        # interactive session; keep the current state
+                        print(f"checkpoint load skipped: {e}")
             elif ev.type == pygame.VIDEORESIZE:
-                # live resolution change (reshape, main.cpp:293-306): rebuild
-                # the jitted programs at the new size, keep assets + state
-                w, h = max(ev.w, 2), max(ev.h, 2)
-                if (w, h) != (engine.config.width, engine.config.height):
-                    engine = engine.resized(w, h)
-                    config = engine.config
-                    screen = pygame.display.set_mode((w, h), pygame.RESIZABLE)
+                # live resolution change (reshape, main.cpp:293-306):
+                # record the target; the rebuild happens below once the
+                # size stops changing (debounced — each distinct size costs
+                # a recompile)
+                resize_target = (max(ev.w, 2), max(ev.h, 2))
+                resize_t = time.perf_counter()
+
+        if (resize_target is not None
+                and time.perf_counter() - resize_t >= resize_settle_s):
+            w, h = resize_target
+            resize_target = None
+            if (w, h) != (engine.config.width, engine.config.height):
+                engine = engine.resized(w, h)
+                config = engine.config
+                pending = None
+                screen = pygame.display.set_mode((w, h), pygame.RESIZABLE)
 
         now = time.perf_counter()
         dt, last = now - last, now             # updateDelta, main.cpp:255-258

@@ -42,14 +42,26 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
-def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str) -> bool:
-    from raytracing_cuda_tpu.scene.textures import grouped_sky_ok
+def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str,
+                     band: int, width: int) -> bool:
+    from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
+                                                    sky_group_for_width)
 
     if not path.startswith("pallas"):
         return False
+    # sample_sky_grouped picks its group size from the row width; the
+    # band-local flatten partitions into the same groups as the full-frame
+    # flatten ONLY when each band's pixel count is group-aligned — required
+    # for the sharded == single-chip bit-parity contract
+    group = sky_group_for_width(width)
+    aligned = (band * width) % group == 0
     if sky_mode == "grouped":
+        if not aligned:
+            raise ValueError(
+                f"sky_mode='grouped' needs band*width ({band}x{width}) "
+                f"divisible by the {group}-pixel sky group; use 'flat'")
         return True
-    return sky_mode == "auto" and grouped_sky_ok(sh, sw)
+    return sky_mode == "auto" and aligned and grouped_sky_ok(sh, sw)
 
 
 @functools.partial(
@@ -90,7 +102,7 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
     aa = state.aa if fxaa_static is None else jnp.bool_(fxaa_static)
 
     sh, sw = sky_texels.shape[1], sky_texels.shape[2]
-    sky_grouped = _resolve_grouped(sky_mode, sh, sw, path)
+    sky_grouped = _resolve_grouped(sky_mode, sh, sw, path, band, width)
     caching = cached_vars is not None
     if path.startswith("pallas"):
         from raytracing_cuda_tpu.scene.textures import (pack_sky,

@@ -132,8 +132,7 @@ def apply_fxaa(image, enabled):
 # tests/test_fxaa.py); the XLA version stays as the readable oracle and the
 # CPU-path implementation.
 
-def _round_up(x, m):
-    return (x + m - 1) // m * m
+from raytracing_cuda_tpu.render.pallas_rt import _round_up
 
 
 def _make_fxaa_kernel(TH, TW):
@@ -220,8 +219,6 @@ def fxaa_ext_pallas(image_ext, row0, total_height: int, TH: int = 16,
     bands share one compiled kernel). The packed frame is edge-padded in x,
     aligned up to (8, 128) multiples, and held fully VMEM-resident; each
     grid tile loads its halo'd window at an aligned start."""
-    from jax.experimental import pallas as _pl  # noqa: F401 (kernel uses pl)
-
     h = image_ext.shape[0] - 2
     w = image_ext.shape[1]
     img32 = image_ext.astype(jnp.int32)

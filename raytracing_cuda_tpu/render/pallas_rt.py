@@ -243,12 +243,6 @@ def cluster_bounds(scene: Scene, tri_clusters=None, sph_clusters=None):
     return jnp.stack(out)
 
 
-def tri_cluster_bounds(scene: Scene, tri_clusters=None):
-    """Back-compat alias: triangle-cluster bounds only."""
-    K = len(tri_clusters) if tri_clusters else 1
-    return cluster_bounds(scene, tri_clusters)[:K]
-
-
 def pack_params(cam_rays, lights: Lights, ambient, sea_y, row0=0):
     p = jnp.zeros((N_PARAMS,), f32)
     segs = [

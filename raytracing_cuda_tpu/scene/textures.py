@@ -206,6 +206,18 @@ SKY_TILE_X = 32
 SKY_GROUP = 16
 
 
+def sky_group_for_width(row_w: int) -> int:
+    """Sky-resolve group size for a framebuffer row width.
+
+    A pure function of the width so every consumer (single-chip resolve,
+    sharded bands, engine cache setup) picks the same partition. 16 needs
+    width % 16 == 0: row-sharded bands flatten band-locally, and only
+    width-aligned groups partition identically in the band-local and
+    full-frame flattens (sharded == single-chip bit parity)."""
+    return SKY_GROUP if (row_w >= 32 * SKY_GROUP
+                         and row_w % SKY_GROUP == 0) else 8
+
+
 def grouped_sky_ok(h: int, w: int) -> bool:
     """Can the (h, w) sky use the grouped resolve? (tile divisibility)."""
     return h % SKY_TILE_Y == 0 and w % SKY_TILE_X == 0 and w >= 2 * SKY_TILE_X
@@ -339,7 +351,7 @@ def sample_sky_grouped(phases, h, w, d, day_frac, valid=None,
     # pixels' texels inside one 32-texel window, which holds at real
     # framebuffer widths (measured 99.98% coverage at 1280) but degrades on
     # tiny frames where per-pixel ray divergence is extreme — those keep 8
-    group = SKY_GROUP if (shape and shape[-1] >= 32 * SKY_GROUP) else 8
+    group = sky_group_for_width(shape[-1]) if shape else 8
     iy = iy.reshape(-1)
     ix = ix.reshape(-1)
     n = iy.shape[0]

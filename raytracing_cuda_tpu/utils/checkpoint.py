@@ -43,14 +43,24 @@ def state_to_dict(state: FrameState) -> dict:
 def state_from_dict(d: dict) -> FrameState:
     if d.get("format") != FORMAT:
         raise ValueError(f"unknown state format {d.get('format')!r}")
-    c = d["camera"]
     # shape-check up front: a malformed field would otherwise surface as an
-    # opaque shape error deep inside the jitted render
-    if len(c["pos"]) != 3:
-        raise ValueError(f"camera.pos must have 3 elements, got {c['pos']!r}")
-    for key in ("sky_vars", "recolor_vars"):
-        if len(d[key]) != 4:
-            raise ValueError(f"{key} must have 4 elements, got {d[key]!r}")
+    # opaque shape error deep inside the jitted render. Missing keys and
+    # wrong-typed fields (KeyError/TypeError) also become ValueError so
+    # callers have ONE failure mode for a corrupt checkpoint.
+    try:
+        c = d["camera"]
+        if len(c["pos"]) != 3:
+            raise ValueError(
+                f"camera.pos must have 3 elements, got {c['pos']!r}")
+        for key in ("sky_vars", "recolor_vars"):
+            if len(d[key]) != 4:
+                raise ValueError(f"{key} must have 4 elements, got {d[key]!r}")
+        return _build_state(d, c)
+    except (KeyError, TypeError) as e:
+        raise ValueError(f"malformed checkpoint: {e!r}") from e
+
+
+def _build_state(d, c):
     f32 = jnp.float32
     return FrameState(
         cam=Camera(pos=jnp.asarray(c["pos"], f32),

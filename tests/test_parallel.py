@@ -87,6 +87,37 @@ def test_sharded_pallas_matches_single_chip(setup):
     assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
 
 
+def test_sharded_wide_frame_16_group_parity(setup):
+    """At widths >= 512 the sky resolve switches to 16-pixel groups
+    (textures.sky_group_for_width); the band-local flatten must still
+    partition into the same groups as the full-frame flatten, keeping the
+    sharded render bit-identical — and the 16-group resolve itself must
+    match the oracle (this is the only CPU coverage of the group=16 path
+    every real 720p frame takes)."""
+    scene, sky, st = setup
+    from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+    from raytracing_cuda_tpu.scene.textures import (sky_cache_init,
+                                                    sky_group_for_width)
+
+    WH, WW = 16, 512                     # band 8 x 512 = 4096 ≡ 0 (mod 16)
+    assert sky_group_for_width(WW) == 16
+    mesh = make_mesh(2)
+    cv, cp = sky_cache_init(sky)
+    single, _, _ = render_frame_cached_sky(
+        scene, st, sky, cv, cp, WH, WW,
+        tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
+    sharded = np.asarray(render_frame_sharded(
+        scene, st, sky, mesh=mesh, height=WH, width=WW,
+        path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS))
+    assert np.array_equal(np.asarray(single), sharded)
+
+    oracle = np.asarray(render_frame(scene, st, sky, WH, WW, chunk=4096,
+                                     path="oracle"), np.float32)
+    diff = np.abs(np.asarray(single, np.float32) - oracle)
+    assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
+
+
 def test_sharded_cached_sky_matches_and_traces_one_kernel(setup):
     """Cached-sky sharded render: identical to the uncached sharded render,
     returns the cache carry, skips the 4-panorama blend on reuse, and the

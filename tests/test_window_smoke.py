@@ -49,7 +49,9 @@ def test_run_window_checkpoint_and_resize_events(tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(pygame, "init", init_and_queue)
-    assert win.run_window(CFG, max_frames=3) == 3
+    # resize_settle_s=0: apply the (debounced) resize on the next frame so
+    # the in-loop rebuild path executes within the 3-frame smoke run
+    assert win.run_window(CFG, max_frames=3, resize_settle_s=0.0) == 3
     assert os.path.exists("raytracer_state.json")
 
 
