@@ -126,6 +126,39 @@ def test_pallas_clustered_matches_oracle(scene, sky):
         assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
 
 
+def test_pallas_random_states_match_oracle(scene, sky):
+    """Seeded random camera poses / clock / sea levels: the megakernel
+    (interpret mode, full cluster culling) must track the oracle everywhere
+    in state space, not just at the curated CASES."""
+    from raytracing_cuda_tpu.core.types import Camera
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    rng = np.random.default_rng(20260817)
+    for _ in range(4):
+        st = sim.init_state()._replace(
+            cam=Camera(
+                pos=jnp.asarray(rng.uniform((-60, 4, -60), (60, 40, 60)),
+                                jnp.float32),
+                hor_angle=jnp.float32(rng.uniform(0, 2 * np.pi)),
+                ver_angle=jnp.float32(rng.uniform(-0.7, 0.7)),
+                fov=jnp.float32(40.0)),
+            day_time=jnp.float32(rng.uniform(0, 24)),
+            sea_y=jnp.float32(rng.uniform(-6, 3)))
+        st = sim.settle(st)
+        pall = np.asarray(render_frame(
+            scene, st, sky, H, W, path="pallas_interpret",
+            tri_clusters=ISLAND_TRI_CLUSTERS,
+            sph_clusters=ISLAND_SPH_CLUSTERS), np.float32)
+        oracle = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                         path="oracle"), np.float32)
+        diff = np.abs(pall - oracle)
+        rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+        s = (float(st.cam.pos[0]), float(st.cam.pos[1]), float(st.cam.pos[2]),
+             float(st.day_time), float(st.sea_y))
+        assert rmse < 2e-3, f"state {s}: rmse {rmse}"
+
+
 def test_pallas_t_bound_identical(scene, sky):
     """The t-bound cluster cull (skip clusters wholly beyond the tile's
     worst-case needed t) is conservative, and the lane-split banding only
