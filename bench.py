@@ -42,6 +42,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def camera_path(i):
+    """Config-5 deterministic camera script (smooth pan + slow forward
+    drift). Module-level so the A/B harnesses (experiments/ab_batch.py,
+    readback_fps.py) measure EXACTLY this workload by importing it."""
+    from raytracing_cuda_tpu.sim.actions import Action
+
+    return Action.idle()._replace(
+        mouse_dx=np.float32(2.0 * np.sin(i * 0.02)),
+        move_forward=np.int32(1 if (i // 60) % 2 == 0 else 0),
+    )
+
+
 def preset_state(day=None, cam_preset=None, sea=None, aa=True):
     from raytracing_cuda_tpu.sim import state as sim
     from raytracing_cuda_tpu.sim.actions import Action
@@ -203,13 +215,6 @@ def main():
         details["time_of_day_ms"] = [round(v, 2) for v in tod]
 
     # 5. Sustained real-time loop: animated camera + automatic time (headline)
-    def camera_path(i):
-        # smooth scripted pan + slow forward drift, deterministic
-        return Action.idle()._replace(
-            mouse_dx=np.float32(2.0 * np.sin(i * 0.02)),
-            move_forward=np.int32(1 if (i // 60) % 2 == 0 else 0),
-        )
-
     eng.set_state(sim.settle(sim.init_state()))
     stats = eng.run(frames, action_fn=camera_path, dt=1 / 60, batch=args.batch)
     details["sustained"] = stats.as_dict()
@@ -219,10 +224,13 @@ def main():
     # 72.97 vs 64.44 fps, experiments/ab_batch.py) vs a batch=16 lax.scan
     # per dispatch. quantum ≈ (t1-tB)/(1-1/B); ≤0 means pipelining already
     # hides the per-dispatch cost and the scan carry is pure overhead.
-    if not args.skip_configs:
+    if not args.skip_configs and frames >= max(16, args.batch):
         alt = 16 if args.batch == 1 else 1
         eng.set_state(sim.settle(sim.init_state()))
-        n1 = min(64, frames)
+        # whole multiples of the larger batch so the alt run contains no
+        # mixed-mode remainder frames (a half-scan half-single run would
+        # mislabel the fps and bias the quantum estimate)
+        n1 = min(64, frames) // max(alt, args.batch) * max(alt, args.batch)
         stats_alt = eng.run(n1, action_fn=camera_path, dt=1 / 60, batch=alt)
         details[f"sustained_batch{alt}_fps"] = round(stats_alt.fps, 2)
         if args.batch == 1:

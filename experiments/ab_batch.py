@@ -22,18 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from bench import camera_path                     # the config-5 script itself
 from raytracing_cuda_tpu.app.loop import Engine
 from raytracing_cuda_tpu.sim import state as sim
-from raytracing_cuda_tpu.sim.actions import Action
 from raytracing_cuda_tpu.utils.config import RenderConfig, enable_compilation_cache
-
-
-def camera_path(i):
-    # same deterministic pan/drift as bench.py config 5
-    return Action.idle()._replace(
-        mouse_dx=np.float32(2.0 * np.sin(i * 0.02)),
-        move_forward=np.int32(1 if (i // 60) % 2 == 0 else 0),
-    )
 
 
 def main():

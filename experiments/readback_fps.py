@@ -21,8 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from bench import camera_path as act              # the config-5 script itself
 from raytracing_cuda_tpu.app.loop import Engine
-from raytracing_cuda_tpu.sim.actions import Action
 from raytracing_cuda_tpu.utils.config import RenderConfig, enable_compilation_cache
 
 
@@ -37,9 +37,6 @@ def main():
     w, h = (int(v) for v in args.size.split("x"))
     eng = Engine(RenderConfig(width=w, height=h,
                               procedural_sky_shape=(2048, 4096)))
-
-    def act(i):
-        return Action.idle()._replace(mouse_dx=np.float32(2.0 * np.sin(i * 0.02)))
 
     # warm
     for i in range(3):

@@ -81,9 +81,13 @@ class Engine:
         use_cache = path.startswith("pallas") and c.sky_cache
         if path.startswith("pallas"):
             # the grouped-vs-flat sky resolve depends only on the sky shape
-            # and sky_mode — NOT on whether the pre-blend cache is enabled
-            # (sky_cache=False must disable only the cache, never downgrade
-            # the resolve: the grouped path is a measured ~6 ms/frame win)
+            # and sky_mode — NOT on whether the pre-blend cache is enabled.
+            # This keeps the SHARDED no-cache path on the grouped resolve
+            # (a measured ~6 ms/frame win); the single-chip no-cache path
+            # goes through the one-shot render_frame, which uses the flat
+            # resolve BY DESIGN (sky_cache=False there is a debug knob that
+            # reverts both cache and resolve — use sky_mode for resolve-only
+            # A/Bs)
             from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
                                                             sky_cache_init)
 

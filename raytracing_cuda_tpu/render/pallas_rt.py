@@ -922,7 +922,11 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     # at the next tile multiple and crop (the padded rays are harmless)
     h_pad = _round_up(height, tile_h)
     w_pad = _round_up(width, tile_w)
-    assert tile_w % lane_split == 0
+    if lane_split > 1 and (tile_w // lane_split) % 128:
+        raise ValueError(
+            f"lane_split={lane_split} needs tile_w ({tile_w}) split into "
+            f"128-lane-aligned bands (unaligned lane slices lower 10-40x "
+            f"slower or are rejected by Mosaic)")
     planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pads,
                              s_occl, tile_h, tile_w, interpret,
                              total_height if total_height is not None

@@ -41,6 +41,8 @@ def state_to_dict(state: FrameState) -> dict:
 
 
 def state_from_dict(d: dict) -> FrameState:
+    if not isinstance(d, dict):
+        raise ValueError(f"checkpoint must be a JSON object, got {type(d).__name__}")
     if d.get("format") != FORMAT:
         raise ValueError(f"unknown state format {d.get('format')!r}")
     # shape-check up front: a malformed field would otherwise surface as an
