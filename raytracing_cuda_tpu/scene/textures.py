@@ -204,6 +204,10 @@ SKY_TILE_X = 32
 # on the cached path, 0.02% of sky pixels fall back to the nearest-texel
 # clamp (rmse 7.8e-4 vs 8-pixel groups — far inside the 2e-3 parity gates)
 SKY_GROUP = 16
+# per-pixel window-select strategy: "onehot" (128-wide compare+mask+sum) or
+# "binary" (7 halving wheres). Exact either way; read at trace time, so flip
+# before building an engine to A/B (experiments/ab_sky_select.py)
+SKY_SELECT = "onehot"
 
 
 def sky_group_for_width(row_w: int) -> int:
@@ -324,9 +328,22 @@ def _grouped_pass(phases, h, w, gy, gx, gv):
     off = (jnp.clip(oy_raw, 0, ty - 1) * tx + jnp.clip(ox_raw, 0, tx - 1))
 
     winf = win.astype(jnp.float32)                    # texels < 2^24: exact
-    sel = (jax.lax.broadcasted_iota(jnp.int32, off.shape + (ty * tx,), 2)
-           == off[:, :, None])
-    texel = jnp.sum(jnp.where(sel, winf[:, None, :], 0.0), axis=2)
+    if SKY_SELECT == "binary":
+        # per-pixel select of 1-of-128 by folding the window in half once
+        # per offset bit: 7 wheres over shrinking slices (~127 elementwise
+        # ops/pixel) instead of the 128-wide one-hot compare+mask+sum
+        t = jnp.broadcast_to(winf[:, None, :], off.shape + (ty * tx,))
+        cur = ty * tx
+        while cur > 1:
+            half = cur // 2
+            bit = (off & half) > 0
+            t = jnp.where(bit[:, :, None], t[..., half:cur], t[..., :half])
+            cur = half
+        texel = t[..., 0]
+    else:
+        sel = (jax.lax.broadcasted_iota(jnp.int32, off.shape + (ty * tx,), 2)
+               == off[:, :, None])
+        texel = jnp.sum(jnp.where(sel, winf[:, None, :], 0.0), axis=2)
     return texel, covered
 
 
