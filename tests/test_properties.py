@@ -36,11 +36,7 @@ EXTREME_STATES = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(EXTREME_STATES))
-@pytest.mark.parametrize("path", ["fast", "pallas_interpret"])
-def test_extreme_states_render(env, name, path):
-    scene, sky = env
-    kw = EXTREME_STATES[name]
+def _extreme_state(kw):
     st = sim.init_state()
     if "pos" in kw:
         st = st._replace(cam=Camera(pos=jnp.asarray(kw["pos"], jnp.float32),
@@ -51,7 +47,34 @@ def test_extreme_states_render(env, name, path):
         st = st._replace(day_time=jnp.float32(kw["day"]))
     if "sea" in kw:
         st = st._replace(sea_y=jnp.float32(kw["sea"]))
-    _render_ok(scene, sky, sim.settle(st), path)
+    return sim.settle(st)
+
+
+@pytest.mark.parametrize("name", sorted(EXTREME_STATES))
+@pytest.mark.parametrize("path", ["fast", "pallas_interpret"])
+def test_extreme_states_render(env, name, path):
+    scene, sky = env
+    _render_ok(scene, sky, _extreme_state(EXTREME_STATES[name]), path)
+
+
+@pytest.mark.parametrize("name", sorted(EXTREME_STATES))
+def test_extreme_states_culling_identical(env, name):
+    """Cluster culling (incl. the t-bound) must stay conservative in every
+    degenerate state — camera inside geometry, sea at ±500 (where the
+    sea-plane t that seeds the bound is extreme or always-missing):
+    clustered output must be bit-identical to the uncluster swept one."""
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    scene, sky = env
+    st = _extreme_state(EXTREME_STATES[name])
+    plain = np.asarray(render_frame(scene, st, sky, H, W,
+                                    path="pallas_interpret"))
+    clustered = np.asarray(render_frame(
+        scene, st, sky, H, W, path="pallas_interpret",
+        tri_clusters=ISLAND_TRI_CLUSTERS,
+        sph_clusters=ISLAND_SPH_CLUSTERS))
+    assert np.array_equal(plain, clustered)
 
 
 def test_paths_agree_on_extremes(env):
