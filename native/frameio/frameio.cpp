@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <ctime>       // clock_gettime — do not rely on transitive includes
 #include <mutex>
 #include <string>
 #include <thread>
@@ -147,6 +148,7 @@ struct Writer {
   std::thread worker;
   std::atomic<bool> stop{false};
   std::atomic<long> written{0};
+  std::atomic<long> failed{0};
   int inflight = 0;   // frames popped from the ring but not yet on disk
 
   explicit Writer(int capacity) : ring(capacity) {
@@ -172,9 +174,14 @@ struct Writer {
       encode_png(png, f.rgb.data(), f.w, f.h);
       FILE* fp = std::fopen(f.path.c_str(), "wb");
       if (fp) {
-        std::fwrite(png.data(), 1, png.size(), fp);
-        std::fclose(fp);
-        written.fetch_add(1);
+        size_t n = std::fwrite(png.data(), 1, png.size(), fp);
+        if (std::fclose(fp) == 0 && n == png.size()) {
+          written.fetch_add(1);
+        } else {
+          failed.fetch_add(1);   // disk full / IO error mid-write
+        }
+      } else {
+        failed.fetch_add(1);     // unwritable path: surfaced via fio_writer_failed
       }
       {
         std::lock_guard<std::mutex> lk(mu);
@@ -247,6 +254,10 @@ void fio_writer_submit(void* wr, const char* path, const uint8_t* rgb,
 
 long fio_writer_written(void* wr) {
   return static_cast<Writer*>(wr)->written.load();
+}
+
+long fio_writer_failed(void* wr) {
+  return static_cast<Writer*>(wr)->failed.load();
 }
 
 void fio_writer_drain(void* wr) { static_cast<Writer*>(wr)->drain(); }

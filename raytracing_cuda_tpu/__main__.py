@@ -66,10 +66,41 @@ def main(argv=None):
 
         jax.config.update("jax_default_device", jax.devices()[args.device])
 
+    def build_state(default_state):
+        """Apply --state/--day/--cam/--no-aa. A loaded checkpoint is used
+        VERBATIM (settle would overwrite its recolor_vars, breaking the
+        exact round-trip contract); settle only runs when --day/--cam
+        changed the clock or pose, or no checkpoint was given."""
+        from raytracing_cuda_tpu.sim import state as sim
+        from raytracing_cuda_tpu.sim.actions import Action
+
+        st = default_state
+        if args.state:
+            from raytracing_cuda_tpu.utils.checkpoint import load_state
+
+            st = load_state(args.state)
+        needs_settle = not args.state
+        if args.day is not None:
+            import jax.numpy as jnp
+
+            st = st._replace(day_time=jnp.float32(args.day))
+            needs_settle = True
+        if args.cam is not None:
+            st = sim.apply_controls(
+                st, Action.idle()._replace(cam_preset=np.int32(args.cam)), 0.0)
+            needs_settle = True
+        if args.no_aa:
+            import jax.numpy as jnp
+
+            st = st._replace(aa=jnp.bool_(False))
+        return sim.settle(st) if needs_settle else st
+
     if args.command == "window":
         from raytracing_cuda_tpu.app.window import run_window
+        from raytracing_cuda_tpu.sim import state as sim
 
-        run_window(_config(args))
+        run_window(_config(args),
+                   initial_state=build_state(sim.settle(sim.init_state())))
         return 0
 
     from raytracing_cuda_tpu.app.loop import Engine
@@ -77,23 +108,7 @@ def main(argv=None):
     from raytracing_cuda_tpu.sim.actions import Action
 
     eng = Engine(_config(args))
-    st = eng.state
-    if args.state:
-        from raytracing_cuda_tpu.utils.checkpoint import load_state
-
-        st = load_state(args.state)
-    if args.day is not None:
-        import jax.numpy as jnp
-
-        st = st._replace(day_time=jnp.float32(args.day))
-    if args.cam is not None:
-        st = sim.apply_controls(
-            st, Action.idle()._replace(cam_preset=np.int32(args.cam)), 0.0)
-    if args.no_aa:
-        import jax.numpy as jnp
-
-        st = st._replace(aa=jnp.bool_(False))
-    eng.set_state(sim.settle(st))
+    eng.set_state(build_state(eng.state))
 
     if args.command == "render":
         from raytracing_cuda_tpu.utils.images import save_png
@@ -124,18 +139,28 @@ def main(argv=None):
         if frameio.available():
             with frameio.AsyncFrameWriter(ring=4) as w:   # off the hot loop
                 emit_all(w.submit)
+                w.drain()
+                written = w.written
+            if written != args.frames:
+                print(f"ERROR: only {written}/{args.frames} frames written "
+                      f"(disk full or {out_dir} unwritable?)", file=sys.stderr)
+                return 1
         else:
             emit_all(frameio.write_png)
         print(f"wrote {args.frames} frames to {out_dir}")
-        if args.gif:
+        if args.gif and args.frames > 0:
             from PIL import Image
 
-            frames_pil = [
-                Image.open(os.path.join(out_dir, f"{i:04d}.png")).convert("P")
-                for i in range(args.frames)]
-            frames_pil[0].save(args.gif, save_all=True,
-                               append_images=frames_pil[1:], duration=33,
-                               loop=0)
+            def load(i):
+                return Image.open(
+                    os.path.join(out_dir, f"{i:04d}.png")).convert("P")
+
+            # generator keeps one frame resident at a time (a 720p run of
+            # thousands of frames would otherwise hold gigabytes of PIL
+            # images while encoding)
+            rest = (load(i) for i in range(1, args.frames))
+            load(0).save(args.gif, save_all=True, append_images=rest,
+                         duration=33, loop=0)
             print(f"wrote {args.gif}")
         return 0
 

@@ -63,7 +63,7 @@ def poll_action(pygame, grab: bool) -> Action:
 
 
 def run_window(config: RenderConfig | None = None, max_frames: int | None = None,
-               resize_settle_s: float = 0.35):
+               resize_settle_s: float = 0.35, initial_state=None):
     """Open the interactive viewer. Blocks until ESC / window close.
 
     max_frames bounds the loop for smoke tests on headless CI (with the
@@ -77,6 +77,8 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
 
     config = config or RenderConfig()
     engine = Engine(config)
+    if initial_state is not None:      # CLI --state/--day/--cam/--no-aa
+        engine.set_state(initial_state)
 
     pygame.init()
     screen = pygame.display.set_mode((config.width, config.height),

@@ -51,12 +51,12 @@ def state_from_dict(d: dict) -> FrameState:
     # callers have ONE failure mode for a corrupt checkpoint.
     try:
         c = d["camera"]
-        if len(c["pos"]) != 3:
+        if np.asarray(c["pos"], np.float32).shape != (3,):
             raise ValueError(
-                f"camera.pos must have 3 elements, got {c['pos']!r}")
+                f"camera.pos must be 3 scalars, got {c['pos']!r}")
         for key in ("sky_vars", "recolor_vars"):
-            if len(d[key]) != 4:
-                raise ValueError(f"{key} must have 4 elements, got {d[key]!r}")
+            if np.asarray(d[key], np.float32).shape != (4,):
+                raise ValueError(f"{key} must be 4 scalars, got {d[key]!r}")
         return _build_state(d, c)
     except (KeyError, TypeError) as e:
         raise ValueError(f"malformed checkpoint: {e!r}") from e

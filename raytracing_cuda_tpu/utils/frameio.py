@@ -36,6 +36,11 @@ def _load():
                                       ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.fio_writer_written.argtypes = [ctypes.c_void_p]
     lib.fio_writer_written.restype = ctypes.c_long
+    try:
+        lib.fio_writer_failed.argtypes = [ctypes.c_void_p]
+        lib.fio_writer_failed.restype = ctypes.c_long
+    except AttributeError:             # older .so without the counter
+        pass
     lib.fio_writer_drain.argtypes = [ctypes.c_void_p]
     lib.fio_writer_destroy.argtypes = [ctypes.c_void_p]
     lib.fio_now_ns.restype = ctypes.c_longlong
@@ -54,8 +59,11 @@ def build(quiet: bool = True) -> bool:
     native = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native")
-    r = subprocess.run(["make", "-C", native],
-                       capture_output=quiet, text=True)
+    try:
+        r = subprocess.run(["make", "-C", native],
+                           capture_output=quiet, text=True)
+    except FileNotFoundError:          # no `make` on this host: PIL fallback
+        return False
     global _lib
     _lib = None
     return r.returncode == 0 and available()
@@ -63,7 +71,9 @@ def build(quiet: bool = True) -> bool:
 
 def _as_rgb_bytes(img: np.ndarray):
     img = np.ascontiguousarray(img)
-    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(
+            f"frameio needs (H, W, 3) uint8, got {img.shape} {img.dtype}")
     return img, img.ctypes.data_as(ctypes.c_char_p)
 
 
@@ -97,17 +107,28 @@ class AsyncFrameWriter:
         self._lib = lib
         self._h = lib.fio_writer_create(ring)
 
+    def _handle(self):
+        if not self._h:
+            raise RuntimeError("AsyncFrameWriter used after close()")
+        return self._h
+
     def submit(self, img: np.ndarray, path: str) -> None:
         img, ptr = _as_rgb_bytes(img)
-        self._lib.fio_writer_submit(self._h, path.encode(), ptr,
+        self._lib.fio_writer_submit(self._handle(), path.encode(), ptr,
                                     img.shape[1], img.shape[0])
 
     @property
     def written(self) -> int:
-        return int(self._lib.fio_writer_written(self._h))
+        return int(self._lib.fio_writer_written(self._handle()))
+
+    @property
+    def failed(self) -> int:
+        """Frames dropped by the worker (unwritable path / disk full)."""
+        fn = getattr(self._lib, "fio_writer_failed", None)
+        return int(fn(self._handle())) if fn is not None else 0
 
     def drain(self) -> None:
-        self._lib.fio_writer_drain(self._h)
+        self._lib.fio_writer_drain(self._handle())
 
     def close(self) -> None:
         if self._h:

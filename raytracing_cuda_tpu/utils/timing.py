@@ -20,11 +20,19 @@ def device_sync(x):
 
     jax.block_until_ready can return early under remote-relay backends (the
     axon tunnel used in this environment), so completion is forced by
-    fetching a dependent scalar reduction to the host instead.
+    fetching a dependent scalar to the host. The scalar depends on EVERY
+    leaf (one element each, summed in one dispatch), so trees whose leaves
+    come from different programs are all forced — not just the first.
     """
     if x is None:
         return None
-    return float(jnp.max(jax.tree_util.tree_leaves(x)[0]))
+    leaves = jax.tree_util.tree_leaves(x)
+    if not leaves:
+        return None
+    acc = jnp.float32(0)
+    for leaf in leaves:
+        acc = acc + jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
+    return float(acc)
 
 
 @dataclasses.dataclass
