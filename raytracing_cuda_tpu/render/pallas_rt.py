@@ -183,7 +183,12 @@ def pack_scene(scene: Scene, tri_clusters=None, sph_clusters=None):
         zeros(1, N_CHANNELS - C_GIDX),                 # gidx = 0
     ], axis=1)
 
-    pad_row = jnp.zeros((1, N_CHANNELS), f32).at[0, C_GIDX].set(1e9)
+    # padding rows: gidx 1e9 (never wins ties) and r² = −1 (< any d² the
+    # sphere accept's −0.01 quirk window can produce, so a zero-radius row
+    # at the origin can NEVER phantom-hit rays grazing the world origin;
+    # triangle sweeps ignore C_R2 and reject the all-zero coefficients)
+    pad_row = (jnp.zeros((1, N_CHANNELS), f32)
+               .at[0, C_GIDX].set(1e9).at[0, C_R2].set(-1.0))
     counts = list(tri_clusters) if tri_clusters else [T]
     parts = [pl_row]
     off = 0
@@ -757,11 +762,14 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                                            -sdy - 2.0 * ldn * ny,
                                            -sdz - 2.0 * ldn * nz)
                     sbase = jnp.maximum(0.0, -(spx * dx + spy * dy + spz * dz))
-                    spec = jnp.where(
-                        shine > 0,
-                        jnp.exp2(spec_e * jnp.log2(jnp.maximum(sbase, 1e-30)))
-                        * shine * angle,
-                        0.0)
+                    # exp2(e·log2(s)) == power(s, e) for s > 0; at s == 0 the
+                    # clamp would yield 2^(−99.66·e) ≠ power(0, e) — match
+                    # the oracle exactly: 0 for e > 0, 1 for e == 0
+                    spec_pow = jnp.where(
+                        sbase > 0,
+                        jnp.exp2(spec_e * jnp.log2(jnp.maximum(sbase, 1e-30))),
+                        jnp.where(spec_e > 0, 0.0, 1.0))
+                    spec = jnp.where(shine > 0, spec_pow * shine * angle, 0.0)
                     phr = phr + spec
                     phg = phg + spec
                     phb = phb + spec

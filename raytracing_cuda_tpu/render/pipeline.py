@@ -233,6 +233,12 @@ def render_frames_batch(scene: Scene, state, sky_texels,
     # 3. one launch for the whole batch
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
     _, s_pads, s_occl = sph_cluster_norm(scene.n_spheres, sph_clusters)
+    from raytracing_cuda_tpu.render.pallas_rt import MAX_CLUSTERS
+    if len(t_pads) + len(s_pads) > MAX_CLUSTERS:
+        raise ValueError(
+            f"{len(t_pads)} tri + {len(s_pads)} sphere clusters exceed "
+            f"MAX_CLUSTERS={MAX_CLUSTERS}; the bounds would overflow the "
+            f"params vector")
     h_pad = _round_up(height, 16)
     w_pad = _round_up(width, 256)
     planes = raytrace_planes_batch(

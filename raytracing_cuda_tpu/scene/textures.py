@@ -136,10 +136,7 @@ def sample_sky(blended, d, day_frac):
     addressing like the reference's CUDA texture setup (kernel.cu:429-436).
     """
     h, w = blended.shape[0], blended.shape[1]
-    y = 1.0 - (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + PI / 2.0) / PI
-    x = jnp.mod((jnp.arctan2(d[..., 0], d[..., 2]) + PI) / (2.0 * PI) + day_frac, 1.0)
-    ix = jnp.clip((x * w).astype(jnp.int32), 0, w - 1)
-    iy = jnp.clip((y * h).astype(jnp.int32), 0, h - 1)
+    iy, ix = _equirect_indices(h, w, d, day_frac)
     texel = blended.reshape(-1, 3)[iy * w + ix]
     return texel.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
 

@@ -159,6 +159,45 @@ def test_pallas_random_states_match_oracle(scene, sky):
         assert rmse < 2e-3, f"state {s}: rmse {rmse}"
 
 
+def test_sphere_padding_rows_unhittable(scene):
+    """Sphere-cluster padding rows sit at the world origin; with r² = 0
+    they phantom-hit rays grazing (0,0,0) — f32 rounding drives d² a hair
+    negative, inside the reference's −0.01 quirk window (kernel.cu:58) —
+    which would black out pixels wherever the origin is visible. r² = −1
+    makes the accept test unsatisfiable: sweep a dense fan of near-origin
+    rays through the packed emissive cluster (2 real + 6 pad rows) and
+    require every pad row to miss."""
+    from raytracing_cuda_tpu.render.pallas_rt import (BIG, C_GIDX, _sph_t,
+                                                      pack_scene)
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    st = sim.settle(sim.init_state())
+    scene_f, _, _ = sim.derive_frame(scene, st)
+    coef = pack_scene(scene_f, ISLAND_TRI_CLUSTERS, ISLAND_SPH_CLUSTERS)
+    pad_rows = np.where(np.asarray(coef[:, 0, C_GIDX]) > 1e8)[0]
+    assert len(pad_rows) >= 6            # (2, False) cluster pads 2 → 8
+    Cs = coef[pad_rows]                  # (P, 1, C) padding rows only
+
+    o = np.array([-56.0, 2.2, 72.0], np.float32)
+    base = -o / np.linalg.norm(o)        # exactly toward the origin
+    rng = np.random.default_rng(99)
+    jit_dirs = base[None, :] + 5e-4 * rng.standard_normal((256, 3)).astype(
+        np.float32)
+    jit_dirs[0] = base
+    jit_dirs /= np.linalg.norm(jit_dirs, axis=1, keepdims=True)
+
+    N = jit_dirs.shape[0]
+    ox, oy, oz = (jnp.full((1, N), v, jnp.float32) for v in o)
+    dx = jnp.asarray(jit_dirs[:, 0])[None]
+    dy = jnp.asarray(jit_dirs[:, 1])[None]
+    dz = jnp.asarray(jit_dirs[:, 2])[None]
+    t = np.asarray(_sph_t(Cs, ox[None], oy[None], oz[None],
+                          dx[None], dy[None], dz[None]))
+    assert np.all(t > BIG * 0.5), (
+        f"{np.sum(t < BIG * 0.5)} phantom pad-row hits, min t {t.min()}")
+
+
 def test_pallas_t_bound_identical(scene, sky):
     """The t-bound cluster cull (skip clusters wholly beyond the tile's
     worst-case needed t) is conservative, and the lane-split banding only
