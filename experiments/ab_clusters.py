@@ -76,11 +76,11 @@ def main():
     sa, sb = sph(args.sph_a), sph(args.sph_b)
     tile_a = tile(args.tile_a)
     tile_b = tile(args.tile_b) if args.tile_b else tile_a
-    if (args.b is None and args.tile_b is None and args.sph_b is None
+    if (ta == tb and sa == sb and tile_a == tile_b
             and args.t_bound_a == args.t_bound_b
             and args.split_a == args.split_b):
-        raise SystemExit("give --b, --sph-b, --tile-b or a differing "
-                         "--t-bound-*/--split-*")
+        raise SystemExit("A and B are identical — vary --a/--b, --sph-*, "
+                         "--tile-*, --t-bound-* or --split-*")
 
     scene = jax.device_put(build_scene())
     st = sim.init_state()._replace(day_time=jnp.float32(args.day))
@@ -118,12 +118,12 @@ def main():
     ia = fa()
     print("compiling B...", flush=True)
     ib = fb()
-    # sanity: identical pixels (culling is conservative; layout changes only
-    # reorder pad rows)
-    import numpy as np
+    # sanity: BIT-identical pixels (culling is conservative; layout changes
+    # only reorder pad rows) — any deviation means a non-conservative config
+    # whose timing must not be trusted
     for x, y in zip(ia, ib):
         d = float(jnp.max(jnp.abs(x - y)))
-        assert d == 0.0 or d < 1e-5, f"outputs differ: max {d}"
+        assert d == 0.0, f"outputs differ: max {d}"
     block(fa, 3)
     block(fb, 3)
     A, B = [], []

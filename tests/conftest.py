@@ -30,13 +30,3 @@ from raytracing_cuda_tpu.scene.textures import procedural_skies
 def scene():
     return build_scene()
 
-
-@pytest.fixture(scope="session")
-def sky_small():
-    """Small procedural sky so CPU tests stay fast."""
-    return procedural_skies(64, 128)
-
-
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)

@@ -140,8 +140,10 @@ def test_pallas_random_states_match_oracle(scene, sky):
             cam=Camera(
                 pos=jnp.asarray(rng.uniform((-60, 4, -60), (60, 40, 60)),
                                 jnp.float32),
-                hor_angle=jnp.float32(rng.uniform(0, 2 * np.pi)),
-                ver_angle=jnp.float32(rng.uniform(-0.7, 0.7)),
+                # angles are DEGREES (scene.cpp:14-20): full yaw circle,
+                # pitch across the reference's +/-44 deg clamp range
+                hor_angle=jnp.float32(rng.uniform(0.0, 360.0)),
+                ver_angle=jnp.float32(rng.uniform(-44.0, 44.0)),
                 fov=jnp.float32(40.0)),
             day_time=jnp.float32(rng.uniform(0, 24)),
             sea_y=jnp.float32(rng.uniform(-6, 3)))
@@ -246,7 +248,8 @@ def test_batch_render_matches_sequential(scene, sky):
 
     st = st0
     for i in range(K):
-        st = sim.animate(st, Action.unpack(vecs[i]), vecs[i][14])
+        st = sim.animate(st, Action.unpack(vecs[i]),
+                         Action.unpack_dt(vecs[i]))
         ref = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
                                       path="oracle"), np.float32)
         diff = np.abs(imgs[i] - ref)
