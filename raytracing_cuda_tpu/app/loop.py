@@ -92,19 +92,21 @@ class Engine:
                                                             sky_cache_init)
 
             sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
-            sky_grouped = (c.sky_mode == "grouped"
-                           or (c.sky_mode == "auto" and grouped_sky_ok(sh, sw)))
-            if mesh is not None and sky_grouped and c.sky_mode == "auto":
-                # a band's pixel count must be sky-group-aligned for the
-                # sharded == single-chip parity contract (mesh._resolve_
-                # grouped); the cache rank must match the resolve used
-                from raytracing_cuda_tpu.parallel.mesh import AXIS
-                from raytracing_cuda_tpu.scene.textures import (
-                    sky_group_for_width)
+            if mesh is not None:
+                # the sharded resolve decision (incl. the band-alignment
+                # rule for sharded == single-chip bit parity) lives in ONE
+                # place — mesh._resolve_grouped; the cache built below must
+                # match the resolve the render path will pick
+                from raytracing_cuda_tpu.parallel.mesh import (
+                    AXIS, _resolve_grouped)
 
-                band = c.height // mesh.shape[AXIS]
-                sky_grouped = (band * c.width) % sky_group_for_width(
-                    c.width) == 0
+                band = c.height // max(mesh.shape[AXIS], 1)
+                sky_grouped = _resolve_grouped(c.sky_mode, sh, sw, path,
+                                               band, c.width)
+            else:
+                sky_grouped = (c.sky_mode == "grouped"
+                               or (c.sky_mode == "auto"
+                                   and grouped_sky_ok(sh, sw)))
         else:
             sky_grouped = False
         if use_cache:
@@ -204,7 +206,10 @@ class Engine:
 
         actions: list[Action] (or a pre-packed (B, 16) f32 array)."""
         if isinstance(actions, (list, tuple)):
-            dts = dts or [1 / 60] * len(actions)
+            if dts is None:
+                dts = [1 / 60] * len(actions)
+            if len(dts) != len(actions):
+                raise ValueError(f"{len(actions)} actions but {len(dts)} dts")
             vecs = np.stack([a.pack(dt) for a, dt in zip(actions, dts)])
         else:
             vecs = actions
@@ -264,7 +269,10 @@ class Engine:
             if batch > 1:
                 device_sync(self.step_and_frame_batch(
                     np.stack([Action.idle().pack(dt)] * batch)))
-            device_sync(self.step_and_frame(None, dt))
+            if batch == 1 or n_frames % batch:
+                # the single-frame program only runs for batch=1 loops or a
+                # remainder; don't force its (minutes-long) compile otherwise
+                device_sync(self.step_and_frame(None, dt))
         self.state = state0
 
         timer = FrameTimer(c.width, c.height).start()

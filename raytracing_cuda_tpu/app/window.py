@@ -6,7 +6,7 @@ the jitted pipeline and blitted from a host array; instead of per-frame Win32
 GetAsyncKeyState polling, pygame's key state snapshot feeds the pure
 sim.animate step. Controls follow the reference README:
 
-  mouse        look (pointer captured; ESC releases)   scene.cpp:128-140
+  mouse        look (pointer captured; ESC quits)      scene.cpp:128-140
   W/A/S/D      move, Q/E up/down, SHIFT run            scene.cpp:142-163
   LEFT/RIGHT   scrub time of day (x4 speed)            scene.cpp:691-698
   O / P        pause / play the day cycle              scene.cpp:700-706
@@ -110,6 +110,8 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                     flags = pygame.FULLSCREEN if fullscreen else pygame.RESIZABLE
                     screen = pygame.display.set_mode(
                         (config.width, config.height), flags)
+                    resize_target = None   # mode switches emit VIDEORESIZE;
+                    #                        don't treat them as live resizes
                 elif ev.key == pygame.K_F5:
                     from raytracing_cuda_tpu.utils.checkpoint import save_state
 
@@ -123,11 +125,12 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                         # a missing or corrupt checkpoint must not kill the
                         # interactive session; keep the current state
                         print(f"checkpoint load skipped: {e}")
-            elif ev.type == pygame.VIDEORESIZE:
+            elif ev.type == pygame.VIDEORESIZE and not fullscreen:
                 # live resolution change (reshape, main.cpp:293-306):
                 # record the target; the rebuild happens below once the
                 # size stops changing (debounced — each distinct size costs
-                # a recompile)
+                # a recompile). Fullscreen mode switches also emit
+                # VIDEORESIZE at the display size — ignored above.
                 resize_target = (max(ev.w, 2), max(ev.h, 2))
                 resize_t = time.perf_counter()
 
@@ -143,6 +146,9 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
 
         now = time.perf_counter()
         dt, last = now - last, now             # updateDelta, main.cpp:255-258
+        # clamp: a multi-minute jit compile (first frame, live resize) must
+        # not become one giant sim step (clock leaps hours, camera teleports)
+        dt = min(dt, 0.1)
         # double-buffered present: enqueue this frame's render, then read
         # back and blit the PREVIOUS frame while the device works — the
         # one-frame display lag overlaps readback with render (measured
@@ -158,14 +164,15 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
         pending = dev_img
         frames += 1
 
-        # FPS + clock in the title every 0.5 s (REFRESH_DELAY, main.cpp:32)
-        fps_acc += 1.0 / max(dt, 1e-6)
+        # FPS + clock in the title every 0.5 s (REFRESH_DELAY, main.cpp:32).
+        # Throughput = frames / window, NOT the mean of instantaneous 1/dt
+        # rates (which overstates fps whenever frame times vary)
         fps_n += 1
         if now - fps_t0 >= 0.5:
             pygame.display.set_caption(
-                f"raytracing_cuda_tpu   {fps_acc / fps_n:5.1f} fps   "
+                f"raytracing_cuda_tpu   {fps_n / (now - fps_t0):5.1f} fps   "
                 f"{engine.time_string()}")
-            fps_acc, fps_n, fps_t0 = 0.0, 0, now
+            fps_n, fps_t0 = 0, now
 
     pygame.quit()
     return frames

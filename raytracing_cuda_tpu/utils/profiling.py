@@ -49,8 +49,10 @@ class FrameProbe:
     """
 
     def __init__(self, window: int = 240):
+        import collections
+
         self.window = window
-        self.samples: list = []
+        self.samples: "collections.deque" = collections.deque(maxlen=window)
         self._last = None
 
     def tick(self) -> float | None:
@@ -58,9 +60,7 @@ class FrameProbe:
         dt = None
         if self._last is not None:
             dt = now - self._last
-            self.samples.append(dt)
-            if len(self.samples) > self.window:
-                self.samples.pop(0)
+            self.samples.append(dt)     # deque(maxlen) evicts in O(1)
         self._last = now
         return dt
 
