@@ -1,5 +1,14 @@
 """Vectorized ray-primitive intersection (checkHit, kernel.cu:41-129).
 
+Two documented, deliberately-unreplicated reference quirks (both
+measure-zero; everything else matches exactly):
+- the nearest-hit scan's `minHitDist == -1` sentinel (kernel.cu:145) lets
+  ANY later hit replace a best hit whose t computed to exactly -1.0f; all
+  paths here keep the true minimum-t, lowest-index winner.
+- the sphere quirk window compares float d2 to the C++ DOUBLE literal
+  -0.01; the f32 ports compare to f32(-0.01) = -0.009999999776, which
+  flips the accept only at that single representable value.
+
 The reference tests one ray against one object per call inside divergent
 per-thread loops. Here each routine tests a batch of rays against all
 primitives of one type at once — masked vector lanes instead of branches —

@@ -70,7 +70,8 @@ C_AV = 25            # 25-27 tri e1×v0
 C_BV = 28            # 28-30 tri e1
 C_N = 31             # 31-33 tri e1×e2
 C_V0N = 34           # tri v0·n
-C_VALID = 35         # 1 for real objects, 0 for padding slots
+C_VALID = 35         # spare (packed 1 for real rows but never read: padding
+                     # rejection rides C_R2 = −1 for spheres, det = 0 for tris)
 C_BLOCKS = 36        # occludes shadow rays (non-emissive), kernel.cu:188-193
 C_GIDX = 37          # reference object index (f32-exact; tie-break key)
 N_CHANNELS = 40
@@ -319,7 +320,11 @@ def _tri_t(Ct, ox, oy, oz, dx, dy, dz, mx, my, mz):
 def _sph_t(Cs, ox, oy, oz, dx, dy, dz):
     """Sphere sweep → t (S_PAD, TH, TW), BIG where miss (kernel.cu:47-69).
 
-    Padding rows have r² = 0 → d2 < r2 always false → rejected.
+    Padding rows carry r² = −1 (pack_scene) so the accept is
+    unsatisfiable. r² = 0 is NOT safe: pad rows sit at the origin, and
+    f32 rounding can drive d² a hair negative — inside the reference's
+    −0.01 quirk window — phantom-hitting rays that graze (0,0,0)
+    (pinned by test_sphere_padding_rows_unhittable).
     """
     px, py, pz = _vec3(Cs, C_CENTER)
     od = _dot3(ox, oy, oz, dx, dy, dz)
