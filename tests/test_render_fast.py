@@ -161,6 +161,28 @@ def test_pallas_random_states_match_oracle(scene, sky):
         assert rmse < 2e-3, f"state {s}: rmse {rmse}"
 
 
+def test_fractional_specular_exponent_parity(scene, sky):
+    """Specular exponents below 1 exercise the kernel's power(0, e) edge:
+    exp2(e·log2(max(s, 1e-30))) at s == 0 would yield 2^(−99.66·e) — a
+    visible uniform glow for fractional e — where the oracle's
+    jnp.power(0, e) gives 0. The kernel special-cases s == 0; pin it by
+    rendering a scene with every specular exponent at 0.05 and shine at
+    1.0 (the old formula's residual 2^(−99.66·0.05)·shine·angle glow is
+    then ~8 levels — well above the gate; the island scene's own max
+    shine of 0.05 would keep it sub-level)."""
+    st = _state(day=14.0)
+    frac = scene._replace(
+        specular=jnp.full_like(scene.specular, 0.05),
+        shine=jnp.full_like(scene.shine, 1.0))
+    pall = np.asarray(render_frame(frac, st, sky, H, W,
+                                   path="pallas_interpret"), np.float32)
+    oracle = np.asarray(render_frame(frac, st, sky, H, W, chunk=4096,
+                                     path="oracle"), np.float32)
+    diff = np.abs(pall - oracle)
+    rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+    assert rmse < 2e-3, f"rmse {rmse}"
+
+
 def test_sphere_padding_rows_unhittable(scene):
     """Sphere-cluster padding rows sit at the world origin; with r² = 0
     they phantom-hit rays grazing (0,0,0) — f32 rounding drives d² a hair
