@@ -31,28 +31,33 @@ def main():
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--preview", type=int, default=1,
+                    help="on-device box-downsample factor before readback "
+                         "(the window's --preview mode; 1 = full frames)")
     args = ap.parse_args()
 
     enable_compilation_cache()
     w, h = (int(v) for v in args.size.split("x"))
-    eng = Engine(RenderConfig(width=w, height=h,
+    eng = Engine(RenderConfig(width=w, height=h, preview=args.preview,
                               procedural_sky_shape=(2048, 4096)))
+    step = (eng.step_and_frame_preview if args.preview > 1
+            else eng.step_and_frame)
 
     # warm
     for i in range(3):
-        np.asarray(eng.step_and_frame(act(i)))
+        np.asarray(step(act(i)))
 
     def serialized():
         t0 = time.perf_counter()
         for i in range(args.frames):
-            np.asarray(eng.step_and_frame(act(i)))   # sync every frame
+            np.asarray(step(act(i)))   # sync every frame
         return args.frames / (time.perf_counter() - t0)
 
     def pipelined():
         t0 = time.perf_counter()
         prev = None
         for i in range(args.frames):
-            img = eng.step_and_frame(act(i))
+            img = step(act(i))
             if prev is not None:
                 np.asarray(prev)     # read back frame i-1 while i renders
             prev = img

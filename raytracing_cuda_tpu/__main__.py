@@ -24,7 +24,8 @@ def _config(args) -> "RenderConfig":
 
     w, h = (int(v) for v in args.size.lower().split("x"))
     return RenderConfig(width=w, height=h, sky_source=args.sky, path=args.path,
-                        scene=args.scene, procedural_sky_shape=(1024, 2048))
+                        scene=args.scene, procedural_sky_shape=(1024, 2048),
+                        preview=getattr(args, "preview", 1))
 
 
 def main(argv=None):
@@ -46,6 +47,11 @@ def main(argv=None):
     ap.add_argument("--no-aa", action="store_true")
     ap.add_argument("--gif", default=None,
                     help="record: also assemble frames into an animated GIF")
+    ap.add_argument("--preview", type=int, default=1,
+                    help="window: render full-res but read back a 1/N-size "
+                         "on-device downsample and upscale in the blit "
+                         "(readback-bound remote links; render/record keep "
+                         "full resolution)")
     ap.add_argument("--device", type=int, default=None,
                     help="device index (the reference's -device=N flag, "
                          "main.cpp:391)")

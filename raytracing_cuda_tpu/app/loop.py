@@ -27,6 +27,15 @@ from raytracing_cuda_tpu.utils.config import RenderConfig
 from raytracing_cuda_tpu.utils.timing import FrameStats, FrameTimer
 
 
+def _box_downsample(img, n: int):
+    """(H, W, 3) uint8 → (H/n, W/n, 3) uint8 box mean (preview readback)."""
+    if n == 1:
+        return img
+    H, W = img.shape[0], img.shape[1]
+    f = img.astype(jnp.float32).reshape(H // n, n, W // n, n, 3)
+    return (f.mean(axis=(1, 3)) + 0.5).astype(jnp.uint8)
+
+
 class Engine:
     """Scene + sky + frame state with a jitted render step."""
 
@@ -73,34 +82,40 @@ class Engine:
         clusters = self.tri_clusters if is_pallas else None
         s_clusters = self.sph_clusters if is_pallas else None
 
-        # --- unified render fn: (scene, state, sky, cvars, cpacked) →
-        # (img, cvars, cpacked); covers single-chip / sharded, cached / not.
-        # The cached-sky variants keep the 4-panorama blend+pack out of the
-        # per-frame path: a NaN sentinel forces the first frame to blend,
-        # afterwards it only reruns during the 2 h day/night crossfades.
-        use_cache = path.startswith("pallas") and c.sky_cache
+        # --- unified render fn: (scene, state, sky) → img; covers
+        # single-chip / sharded. Pallas paths resolve the sky from a STATIC
+        # all-panorama stack built once here (sky_static_init): the ≤2
+        # active panoramas blend at resolve time, so no per-frame
+        # blend+pack exists and frame cost is flat across the 24 h clock —
+        # the round-2 cached design paid a full-panorama rebuild every
+        # crossfade frame (+15.7 ms at 720p with reference skies,
+        # experiments/ab_crossfade.py).
+        # sharded pallas always uses the static stack (the mesh path has no
+        # per-frame-pack variant); single-chip keeps sky_cache=False as the
+        # one-shot debug knob
+        use_static = path.startswith("pallas") and (c.sky_cache
+                                                    or mesh is not None)
+        sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
         if path.startswith("pallas"):
             # the grouped-vs-flat sky resolve depends only on the sky shape
-            # and sky_mode — NOT on whether the pre-blend cache is enabled.
-            # This keeps the SHARDED no-cache path on the grouped resolve
-            # (a measured ~6 ms/frame win); the single-chip no-cache path
-            # goes through the one-shot render_frame, which uses the flat
-            # resolve BY DESIGN (sky_cache=False there is a debug knob that
-            # reverts both cache and resolve — use sky_mode for resolve-only
-            # A/Bs)
+            # and sky_mode — NOT on whether the static pack is enabled.
+            # The single-chip no-static path goes through the one-shot
+            # render_frame, which blends+packs per frame with the flat
+            # resolve BY DESIGN (sky_cache=False is a debug knob — use
+            # sky_mode for resolve-only A/Bs)
             from raytracing_cuda_tpu.scene.textures import (grouped_sky_ok,
-                                                            sky_cache_init)
+                                                            sky_static_init)
 
-            sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
             if mesh is not None:
                 # the sharded resolve decision (incl. the band-alignment
                 # rule for sharded == single-chip bit parity) lives in ONE
-                # place — mesh._resolve_grouped; the cache built below must
+                # place — mesh._resolve_grouped; the pack built below must
                 # match the resolve the render path will pick
                 from raytracing_cuda_tpu.parallel.mesh import (
                     AXIS, _resolve_grouped)
 
-                band = c.height // max(mesh.shape[AXIS], 1)
+                band = (c.height // max(mesh.shape[AXIS], 1)
+                        // c.shard_interleave)
                 sky_grouped = _resolve_grouped(c.sky_mode, sh, sw, path,
                                                band, c.width)
             else:
@@ -109,81 +124,87 @@ class Engine:
                                    and grouped_sky_ok(sh, sw)))
         else:
             sky_grouped = False
-        if use_cache:
-            self._cached_vars, self._cached_packed = sky_cache_init(
-                self.sky_texels, grouped=sky_grouped)
+        if use_static:
+            shared = getattr(share_assets_from, "_sky_pack", None)
+            if (shared is not None and shared.size
+                    and (shared.ndim == 3) == sky_grouped):
+                self._sky_pack = shared     # resize path: same sky, same mode
+            else:
+                self._sky_pack = jax.jit(
+                    sky_static_init, static_argnames=("grouped",)
+                )(self.sky_texels, grouped=sky_grouped)
         else:
-            self._cached_vars = jnp.zeros((0,), jnp.float32)
-            self._cached_packed = jnp.zeros((0,), jnp.int32)
+            # placeholder so the jitted signatures stay uniform (the static
+            # pack rides as a runtime ARGUMENT, never a captured constant —
+            # a closed-over 2.15 GB reference-sky pack would be baked into
+            # every compiled program)
+            self._sky_pack = jnp.zeros((0,), jnp.int32)
         interpret = path == "pallas_interpret"
 
         if mesh is not None:
             sky_mode = ("grouped" if sky_grouped else "flat") \
                 if path.startswith("pallas") else c.sky_mode
 
-            def _render(scene, state, sky_texels, cvars, cpacked):
-                kw = dict(mesh=mesh, height=c.height, width=c.width,
-                          chunk=c.chunk, aspect=c.aspect, path=path,
-                          tri_clusters=clusters, sph_clusters=s_clusters,
-                          sky_mode=sky_mode)
-                if use_cache:
-                    return render_frame_sharded(
-                        scene, state, sky_texels, cached_vars=cvars,
-                        cached_packed=cpacked, **kw)
-                img = render_frame_sharded(scene, state, sky_texels, **kw)
-                return img, cvars, cpacked
-        elif use_cache:
-            from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
-
-            def _render(scene, state, sky_texels, cvars, cpacked):
-                return render_frame_cached_sky(
-                    scene, state, sky_texels, cvars, cpacked,
-                    c.height, c.width, aspect=c.aspect,
+            def _render(scene, state, sky_texels, sky_pack):
+                return render_frame_sharded(
+                    scene, state, sky_texels, mesh=mesh, height=c.height,
+                    width=c.width, chunk=c.chunk, aspect=c.aspect, path=path,
                     tri_clusters=clusters, sph_clusters=s_clusters,
-                    sky_grouped=sky_grouped, interpret=interpret)
+                    sky_mode=sky_mode,
+                    sky_pack=sky_pack if use_static else None,
+                    interleave=c.shard_interleave)
+        elif use_static:
+            from raytracing_cuda_tpu.render.pipeline import (
+                render_frame_static_sky)
+
+            def _render(scene, state, sky_texels, sky_pack):
+                return render_frame_static_sky(
+                    scene, state, sky_pack, sh, sw, c.height, c.width,
+                    aspect=c.aspect, tri_clusters=clusters,
+                    sph_clusters=s_clusters, interpret=interpret)
         else:
-            def _render(scene, state, sky_texels, cvars, cpacked):
-                img = render_frame(scene, state, sky_texels, c.height, c.width,
-                                   chunk=c.chunk, aspect=c.aspect, path=path,
-                                   tri_clusters=clusters,
-                                   sph_clusters=s_clusters)
-                return img, cvars, cpacked
+            def _render(scene, state, sky_texels, sky_pack):
+                return render_frame(scene, state, sky_texels, c.height,
+                                    c.width, chunk=c.chunk, aspect=c.aspect,
+                                    path=path, tri_clusters=clusters,
+                                    sph_clusters=s_clusters)
 
-        # the cached-sky carry (cvars, cpacked — up to 512 MB of packed
-        # panorama at full reference resolution) is donated: the engine
-        # always replaces its references with the outputs, and donation
-        # lets XLA alias the unchanged-sky cond branch instead of copying
-        self._render_only = jax.jit(_render, donate_argnums=(3, 4))
+        self._render_only = jax.jit(_render)
 
-        def _step_render(scene, state, sky_texels, cvars, cpacked, action_vec):
+        def _step_render(scene, state, sky_texels, sky_pack, action_vec):
             state = sim.animate(state, Action.unpack(action_vec),
                                 Action.unpack_dt(action_vec))
-            img, cvars, cpacked = _render(scene, state, sky_texels, cvars,
-                                          cpacked)
-            return state, img, cvars, cpacked
+            return state, _render(scene, state, sky_texels, sky_pack)
 
         # one device dispatch per frame: state step + render fused
-        self._step_render = jax.jit(_step_render, donate_argnums=(3, 4))
+        self._step_render = jax.jit(_step_render)
 
-        def _step_render_batch(scene, state, sky_texels, cvars, cpacked,
+        def _step_render_batch(scene, state, sky_texels, sky_pack,
                                action_vecs):
             """lax.scan over a whole batch of frames in ONE dispatch,
             amortizing per-dispatch host costs. (A fused variant that walks
             frames inside ONE kernel launch — render_frames_batch — measured
             ~12% slower on this backend than the scan of single-frame
             launches, so the scan stays.)"""
-            def body(carry, av):
-                state, cvars, cpacked = carry
-                state, img, cvars, cpacked = _step_render(
-                    scene, state, sky_texels, cvars, cpacked, av)
-                return (state, cvars, cpacked), img
+            def body(state, av):
+                return _step_render(scene, state, sky_texels, sky_pack, av)
 
-            (state, cvars, cpacked), imgs = jax.lax.scan(
-                body, (state, cvars, cpacked), action_vecs)
-            return state, imgs, cvars, cpacked
+            state, imgs = jax.lax.scan(body, state, action_vecs)
+            return state, imgs
 
-        self._step_render_batch = jax.jit(_step_render_batch,
-                                          donate_argnums=(3, 4))
+        self._step_render_batch = jax.jit(_step_render_batch)
+
+        def _step_render_preview(scene, state, sky_texels, sky_pack,
+                                 action_vec):
+            """Fused step + render + on-device box-downsample: the small
+            buffer is all that crosses device→host, cutting the windowed
+            loop's readback by preview² (the tunnel-era equivalent of the
+            reference's zero-copy GL-interop present, main.cpp:141-165)."""
+            state, img = _step_render(scene, state, sky_texels, sky_pack,
+                                      action_vec)
+            return state, _box_downsample(img, c.preview)
+
+        self._step_render_preview = jax.jit(_step_render_preview)
 
     # --- state ---
 
@@ -195,10 +216,18 @@ class Engine:
 
     def step_and_frame(self, action: Action | None = None, dt: float = 1 / 60):
         """Fused step+render: a single jitted dispatch per frame."""
-        self.state, img, self._cached_vars, self._cached_packed = (
-            self._step_render(self.scene, self.state, self.sky_texels,
-                              self._cached_vars, self._cached_packed,
-                              (action or Action.idle()).pack(dt)))
+        self.state, img = self._step_render(
+            self.scene, self.state, self.sky_texels, self._sky_pack,
+            (action or Action.idle()).pack(dt))
+        return img
+
+    def step_and_frame_preview(self, action: Action | None = None,
+                               dt: float = 1 / 60):
+        """Fused step+render+downsample → (H/p, W/p, 3) uint8 device array
+        (p = config.preview). Full-res rendering, small readback."""
+        self.state, img = self._step_render_preview(
+            self.scene, self.state, self.sky_texels, self._sky_pack,
+            (action or Action.idle()).pack(dt))
         return img
 
     def step_and_frame_batch(self, actions, dts=None):
@@ -213,10 +242,8 @@ class Engine:
             vecs = np.stack([a.pack(dt) for a, dt in zip(actions, dts)])
         else:
             vecs = actions
-        self.state, imgs, self._cached_vars, self._cached_packed = (
-            self._step_render_batch(self.scene, self.state, self.sky_texels,
-                                    self._cached_vars, self._cached_packed,
-                                    vecs))
+        self.state, imgs = self._step_render_batch(
+            self.scene, self.state, self.sky_texels, self._sky_pack, vecs)
         return imgs
 
     def resized(self, width: int, height: int) -> "Engine":
@@ -240,10 +267,8 @@ class Engine:
 
     def frame(self):
         """Render the current state → (H, W, 3) uint8 device array."""
-        img, self._cached_vars, self._cached_packed = self._render_only(
-            self.scene, self.state, self.sky_texels,
-            self._cached_vars, self._cached_packed)
-        return img
+        return self._render_only(self.scene, self.state, self.sky_texels,
+                                 self._sky_pack)
 
     def frame_np(self) -> np.ndarray:
         return np.asarray(self.frame())

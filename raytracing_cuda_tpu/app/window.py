@@ -130,8 +130,11 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                 # record the target; the rebuild happens below once the
                 # size stops changing (debounced — each distinct size costs
                 # a recompile). Fullscreen mode switches also emit
-                # VIDEORESIZE at the display size — ignored above.
-                resize_target = (max(ev.w, 2), max(ev.h, 2))
+                # VIDEORESIZE at the display size — ignored above. Snap to
+                # preview-factor multiples so the downsample stays exact.
+                p = engine.config.preview
+                resize_target = (max(ev.w, 2 * p) // p * p,
+                                 max(ev.h, 2 * p) // p * p)
                 resize_t = time.perf_counter()
 
         if (resize_target is not None
@@ -154,11 +157,17 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
         # one-frame display lag overlaps readback with render (measured
         # +20% on the remote tunnel, experiments/readback_fps.py; on
         # co-located hardware readback is sub-millisecond either way)
-        dev_img = engine.step_and_frame(poll_action(pygame, grab), dt)
+        p = engine.config.preview
+        step = (engine.step_and_frame_preview if p > 1
+                else engine.step_and_frame)
+        dev_img = step(poll_action(pygame, grab), dt)
         if pending is not None:
             img = np.asarray(pending)
             surf = pygame.surfarray.make_surface(img.transpose(1, 0, 2))
-            if surf.get_size() == screen.get_size():
+            full = (surf.get_width() * p, surf.get_height() * p)
+            if full == screen.get_size():
+                if p > 1:   # preview: upscale the small readback in the blit
+                    surf = pygame.transform.scale(surf, full)
                 screen.blit(surf, (0, 0))
                 pygame.display.flip()
         pending = dev_img

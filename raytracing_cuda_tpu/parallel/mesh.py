@@ -11,10 +11,11 @@ single-chip render), and the FXAA stencil exchanges 1-row halos with
 neighbor devices via lax.ppermute — the only collective in the frame,
 riding ICI.
 
-Like the single-chip engine, the sharded path reuses a cached pre-blended
-sky across frames (the 4-panorama blend only reruns during the 2 h day/night
-crossfades, scene.cpp:778-804) and supports the grouped sky resolve — pass
-(cached_vars, cached_packed) from textures.sky_cache_init to enable.
+Like the single-chip engine, the sharded Pallas path resolves the sky from
+the STATIC all-panorama stack (textures.sky_static_init, replicated): the
+≤2 active panoramas are blended per fetched texel, so no per-frame
+blend+pack exists and frame cost is flat across the 24 h clock including
+the 2 h crossfades (scene.cpp:778-804).
 """
 
 from __future__ import annotations
@@ -68,7 +69,7 @@ def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str,
     jax.jit,
     static_argnames=("mesh", "height", "width", "chunk", "aspect",
                      "fxaa_static", "path", "tri_clusters", "sph_clusters",
-                     "sky_mode"),
+                     "sky_mode", "interleave"),
 )
 def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          mesh: Mesh, height: int, width: int,
@@ -78,21 +79,36 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          tri_clusters: tuple | None = None,
                          sph_clusters: tuple | None = None,
                          sky_mode: str = "auto",
-                         cached_vars=None, cached_packed=None):
+                         sky_pack=None, interleave: int = 1):
     """Row-sharded render of one frame → (height, width, 3) uint8.
 
     Output matches render_frame exactly: rays are generated from global row
     coordinates and FXAA sees true neighbor rows through an ICI halo
     exchange instead of band-local padding.
 
-    With (cached_vars, cached_packed) from textures.sky_cache_init the
-    per-frame 4-panorama blend is skipped outside crossfades and the return
-    value becomes (image, new_cached_vars, new_cached_packed).
+    Pallas paths require sky_pack (the static stack from
+    textures.sky_static_init, replicated on every device); non-Pallas paths
+    blend the panoramas per frame from sky_texels like render_frame.
+
+    interleave = k > 1 assigns each device k STRIDED sub-bands (device d
+    renders row chunks d, d+n, d+2n, …) instead of one contiguous band.
+    Contiguous bands have skewed work — top rows are sky-cheap, bottom rows
+    hit water reflections — so striding balances the per-device load; the
+    cost is k kernel launches per device (inside one program) and 2k halo
+    rows instead of 2. Bit-identical output by construction (pinned by
+    tests/test_parallel.py). On the CPU test mesh there is no timing signal;
+    on real multi-chip hardware the expected win is the gap between the
+    heaviest and mean band (the 2000-frame soak saw 2.4x content spread
+    across the frame — docs/PERFORMANCE.md).
     """
     n = mesh.shape[AXIS]
-    if height % n:
-        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    if interleave < 1:
+        raise ValueError(f"interleave must be >= 1, got {interleave}")
+    if height % (n * interleave):
+        raise ValueError(f"height {height} not divisible by mesh size {n} "
+                         f"x interleave {interleave}")
     band = height // n
+    sub = band // interleave        # rows per strided chunk
     if aspect is None:
         aspect = width / height
 
@@ -102,89 +118,115 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
     aa = state.aa if fxaa_static is None else jnp.bool_(fxaa_static)
 
     sh, sw = sky_texels.shape[1], sky_texels.shape[2]
-    sky_grouped = _resolve_grouped(sky_mode, sh, sw, path, band, width)
-    caching = cached_vars is not None
+    # group alignment applies per strided chunk (the band when interleave=1)
+    sky_grouped = _resolve_grouped(sky_mode, sh, sw, path, sub, width)
     if path.startswith("pallas"):
-        from raytracing_cuda_tpu.scene.textures import (pack_sky,
-                                                        pack_sky_phases)
-
-        # pack once, replicated — the grouped resolve (one row gather per
-        # 8-pixel group, see scene/textures.py) applies per band unchanged:
-        # groups never cross shard boundaries (bands are whole rows)
-        pack = pack_sky_phases if sky_grouped else pack_sky
-        if caching:
-            changed = jnp.any(state.sky_vars != cached_vars)
-            packed = jax.lax.cond(
-                changed,
-                lambda _: pack(blend_sky(sky_texels, state.sky_vars)),
-                lambda _: cached_packed,
-                None)
-        else:
-            packed = pack(blend_sky(sky_texels, state.sky_vars))
+        if sky_pack is None:
+            raise ValueError("pallas paths need sky_pack "
+                             "(textures.sky_static_init)")
+        if sky_grouped != (sky_pack.ndim == 3):
+            raise ValueError(
+                f"sky_pack rank {sky_pack.ndim} does not match the "
+                f"{'grouped' if sky_grouped else 'flat'} resolve — build it "
+                f"with sky_static_init(texels, grouped={sky_grouped})")
+        packed = sky_pack
     else:
         packed = blend_sky(sky_texels, state.sky_vars)
 
-    def shard_fn(scene_f, lights, ambient, packed, rays, day_frac, aa):
+    def shard_fn(scene_f, lights, ambient, packed, rays, day_frac, aa,
+                 sky_vars):
         idx = jax.lax.axis_index(AXIS)
-        row0 = (idx * band).astype(jnp.float32)
-        if path.startswith("pallas"):
-            # each shard runs the ONE compiled megakernel on its band; the
-            # global row offset rides the SMEM params vector, so rays match
-            # the single-chip render exactly without per-band recompiles
-            from raytracing_cuda_tpu.render.pallas_rt import (
-                render_base_planes_pallas)
-            from raytracing_cuda_tpu.render.reference import quantize
-            from raytracing_cuda_tpu.scene.textures import (
-                sample_sky_grouped, sample_sky_packed)
 
-            planes = render_base_planes_pallas(
-                scene_f, lights, ambient, rays, band, width,
-                interpret=(path == "pallas_interpret"),
-                tri_clusters=tri_clusters, sph_clusters=sph_clusters,
-                row0=row0, total_height=height)
-            r, g, b, mw, mdx, mdy, mdz = planes
-            mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
-            if sky_grouped:
-                sky = sample_sky_grouped(packed, sh, sw, mdir, day_frac,
-                                         valid=mw > 0)
-            else:
-                sky = sample_sky_packed(packed, sh, sw, mdir, day_frac)
-            base = quantize(jnp.stack([r, g, b], axis=-1) + mw[..., None] * sky)
-        else:
-            base = render_base_image_fast(scene_f, lights, ambient, packed,
-                                          day_frac, rays, band, width,
-                                          row0=idx * band,
+        def render_chunk(chunk_id):
+            """One (sub, width) row chunk starting at global row
+            chunk_id*sub. chunk_id is traced — on the pallas path the row
+            offset rides the SMEM params vector, so every chunk of every
+            device runs the SAME compiled megakernel."""
+            if path.startswith("pallas"):
+                from raytracing_cuda_tpu.render.pallas_rt import (
+                    render_base_planes_pallas)
+                from raytracing_cuda_tpu.render.reference import quantize
+                from raytracing_cuda_tpu.scene.textures import (
+                    sample_sky_grouped_pair, sample_sky_packed_pair)
+
+                planes = render_base_planes_pallas(
+                    scene_f, lights, ambient, rays, sub, width,
+                    interpret=(path == "pallas_interpret"),
+                    tri_clusters=tri_clusters, sph_clusters=sph_clusters,
+                    row0=(chunk_id * sub).astype(jnp.float32),
+                    total_height=height)
+                r, g, b, mw, mdx, mdy, mdz = planes
+                mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
+                if sky_grouped:
+                    sky = sample_sky_grouped_pair(packed, sh, sw, mdir,
+                                                  day_frac, sky_vars,
+                                                  valid=mw > 0)
+                else:
+                    sky = sample_sky_packed_pair(packed, sh, sw, mdir,
+                                                 day_frac, sky_vars)
+                return quantize(jnp.stack([r, g, b], axis=-1)
+                                + mw[..., None] * sky)
+            return render_base_image_fast(scene_f, lights, ambient, packed,
+                                          day_frac, rays, sub, width,
+                                          row0=chunk_id * sub,
                                           total_height=height, chunk=chunk)
 
-        # 1-row halo exchange with ring neighbors (edge shards receive zeros;
-        # those halo rows only influence global border rows, which pass
-        # through FXAA untouched)
-        down = [(i, i + 1) for i in range(n - 1)]   # my last row → lower neighbor's top halo
-        up = [(i + 1, i) for i in range(n - 1)]     # my first row → upper neighbor's bottom halo
-        halo_top = jax.lax.ppermute(base[-1:], AXIS, down)
-        halo_bot = jax.lax.ppermute(base[:1], AXIS, up)
-        ext = jnp.concatenate([halo_top, base, halo_bot], axis=0)
+        # device d renders global chunks d, d+n, …, d+(k-1)n (k=interleave;
+        # k=1 is the contiguous-band layout)
+        bases = [render_chunk(idx + j * n) for j in range(interleave)]
+
+        # halo exchange: chunk c needs the last row of chunk c-1 and the
+        # first row of chunk c+1. c-1 lives on device d-1 at the same slot j
+        # (ring step), EXCEPT device 0, whose upper neighbors are device
+        # n-1's chunks at slot j-1 (the wrap ppermute carries the slot-
+        # shifted stack; non-receivers get zeros, and zeros are exactly
+        # right at the global frame borders, which FXAA passes through).
+        L = jnp.concatenate([b[-1:] for b in bases], axis=0)   # (k, W, 3)
+        F = jnp.concatenate([b[:1] for b in bases], axis=0)
+        down = [(i, i + 1) for i in range(n - 1)]
+        up = [(i + 1, i) for i in range(n - 1)]
+        halo_top = jax.lax.ppermute(L, AXIS, down)
+        halo_bot = jax.lax.ppermute(F, AXIS, up)
+        if interleave > 1:      # wrap legs carry the slot-shifted stacks
+            zrow = jnp.zeros_like(L[:1])
+            halo_top = halo_top + jax.lax.ppermute(
+                jnp.concatenate([zrow, L[:-1]], axis=0), AXIS, [(n - 1, 0)])
+            halo_bot = halo_bot + jax.lax.ppermute(
+                jnp.concatenate([F[1:], zrow], axis=0), AXIS, [(0, n - 1)])
 
         fxaa_band = (fxaa_ext_pallas if path == "pallas" else fxaa_ext)
-        out = jax.lax.cond(
-            aa,
-            lambda e: fxaa_band(e, row0=idx * band, total_height=height),
-            lambda e: e[1:-1],
-            ext,
-        )
-        return out
+
+        def aa_chunks(args):
+            bases, halo_top, halo_bot = args
+            outs = []
+            for j, b in enumerate(bases):
+                ext = jnp.concatenate([halo_top[j:j + 1], b,
+                                       halo_bot[j:j + 1]], axis=0)
+                outs.append(fxaa_band(ext, row0=(idx + j * n) * sub,
+                                      total_height=height))
+            return jnp.concatenate(outs, axis=0)
+
+        def no_aa(args):
+            return jnp.concatenate(args[0], axis=0)
+
+        return jax.lax.cond(aa, aa_chunks, no_aa,
+                            (bases, halo_top, halo_bot))
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(AXIS),
         # scan carries inside the trace loop start replicated and become
         # device-varying; skip the varying-manual-axes check rather than
         # pcast every carry leaf
         check_vma=False,
     )
-    img = fn(scene_f, lights, ambient, packed, rays, day_frac, aa)
-    if caching:
-        return img, state.sky_vars, packed
-    return img
+    img = fn(scene_f, lights, ambient, packed, rays, day_frac, aa,
+             state.sky_vars)
+    if interleave == 1:
+        return img
+    # un-interleave: shard output row-major order is (device d, slot j) =
+    # global chunk d + j*n; the global image wants chunks in order c = 0…
+    return (img.reshape(n, interleave, sub, width, 3)
+            .swapaxes(0, 1).reshape(height, width, 3))

@@ -684,8 +684,15 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                                    sdists)
                     # occluders matter only at t < the lane's light
                     # distance; one reduce over the band's lanes that still
-                    # need this light bounds every shadow-cluster cull
-                    t_hi_s = jnp.max(needs * sdists) if t_bound else None
+                    # need this light bounds every shadow-cluster cull.
+                    # +0.001: hbox/tlo come from the hit points hx, but the
+                    # occlusion rays originate at sox = hx + 0.001*sdir, so
+                    # a cluster's true nearest t can undercut tlo by up to
+                    # 0.001 — the slack keeps the cull provably conservative
+                    # (cluster_bounds' +0.01 radius slack covered this in
+                    # practice; this makes it explicit)
+                    t_hi_s = (jnp.max(needs * sdists) + 0.001
+                              if t_bound else None)
                     occ_f = jnp.zeros((TH, TWB), f32)
                     for kk, Ctk in enumerate(Ct_list):
                         poss = _cluster_possible(*cluster_bound(kk), hbox,
@@ -930,7 +937,14 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     params = jax.lax.dynamic_update_slice(params, bounds, (P_CLUSTERS,))
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
     _, s_pads, s_occl = sph_cluster_norm(scene.n_spheres, sph_clusters)
-    assert len(t_pads) + len(s_pads) <= MAX_CLUSTERS
+    if len(t_pads) + len(s_pads) > MAX_CLUSTERS:
+        # a bare assert is stripped under -O, and the dynamic_update_slice
+        # above would then clamp its start index and silently overwrite the
+        # lights/camera params (same guard as render_frames_batch)
+        raise ValueError(
+            f"{len(t_pads)} tri + {len(s_pads)} sphere clusters exceed "
+            f"MAX_CLUSTERS={MAX_CLUSTERS}; the bounds would overflow the "
+            f"params vector")
     # Mosaic executes partial edge blocks ~14x slower than full ones; render
     # at the next tile multiple and crop (the padded rays are harmless)
     h_pad = _round_up(height, tile_h)

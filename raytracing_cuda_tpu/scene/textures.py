@@ -249,24 +249,106 @@ def pack_sky_phases(blended):
     return jnp.concatenate(copies, axis=0)
 
 
-def sky_cache_init(sky_texels, grouped: bool | None = None):
-    """Initial (cached_vars, cached_packed) for the cached-sky render paths.
+def pack_sky_phases_all(texels):
+    """Pack all FOUR raw panoramas into one stacked phase tensor.
 
-    cached_vars starts as NaN so the first frame always blends; cached_packed
-    is shaped for the grouped resolve when the sky shape supports it (or as
-    the flat pack_sky plane otherwise / when grouped=False is forced).
+    (4, H, W, 3) uint8 → (4, (H/4)*(W/32)*4, 128) int32: panorama i's
+    pack_sky_phases plane at index i. Built ONCE at startup; the resolve
+    blends per gathered window (sample_sky_grouped_pair), so no per-frame
+    blend+pack ever runs — frame cost is flat across the whole 24 h clock
+    where the reference pays the 4-way per-ray blend unconditionally
+    (kernel.cu:156-163) and the round-2 cached design re-packed the full
+    panorama every crossfade frame.
+    """
+    return jnp.stack([pack_sky_phases(texels[i]) for i in range(4)])
+
+
+def pack_sky_all(texels):
+    """Flat-pack all four raw panoramas → (4, H*W) int32 (pack_sky per
+    panorama). The flat-resolve analogue of pack_sky_phases_all."""
+    return jnp.stack([pack_sky(texels[i]) for i in range(4)])
+
+
+def sky_blend_bands(sky_vars):
+    """→ (ia, ib, wa, wb): the ≤2 active panoramas and their weights.
+
+    calc_sky_vars (scene.cpp:778-804) yields at most two nonzero adjacent
+    weights summing to 1, so the 4-way truncated blend collapses to two
+    terms: trunc(tex_a·wa) + trunc(tex_b·wb) is bit-identical to
+    blend_sky's Σ trunc(tex_i·w_i) (zero-weight terms truncate to 0; a
+    pure band has wa = 1 and trunc(tex·1) = tex exactly).
+    """
+    sky_vars = jnp.asarray(sky_vars, jnp.float32)
+    ia = jnp.argmax(sky_vars).astype(jnp.int32)
+    masked = jnp.where(jnp.arange(4) == ia, -1.0, sky_vars)
+    ib = jnp.argmax(masked).astype(jnp.int32)
+    return ia, ib, sky_vars[ia], jnp.maximum(masked[ib], 0.0)
+
+
+def _blend_windows(win_a, win_b, wa, wb):
+    """Truncated per-channel blend of two packed int32 windows → f32 packed.
+
+    Reproduces blend_sky's per-texel arithmetic (kernel.cu:158-162,
+    structs.h:86-88) on the gathered windows: each channel scaled in f32 and
+    truncated, then summed; repacked as r + g·256 + b·65536 in f32 (< 2^24,
+    exact) — the same value win.astype(f32) yields on a pre-blended pack, so
+    the downstream one-hot select is unchanged.
+    """
+    out = None
+    for shift in (0, 8, 16):
+        ca = ((win_a >> shift) & 0xFF).astype(jnp.float32)
+        cb = ((win_b >> shift) & 0xFF).astype(jnp.float32)
+        ch = jnp.floor(ca * wa) + jnp.floor(cb * wb)
+        term = ch * jnp.float32(1 << shift)
+        out = term if out is None else out + term
+    return out
+
+
+def sky_static_init(sky_texels, grouped: bool | None = None):
+    """Build the static sky pack for the render paths → stacked int32 array.
+
+    Rank selects the resolve downstream: 3-D (4, rows, 128) from
+    pack_sky_phases_all → grouped pair resolve; 2-D (4, H·W) from
+    pack_sky_all → flat pair resolve. Packed ONCE per sky (startup); frames
+    blend the ≤2 active panoramas at resolve time (sky_blend_bands), so no
+    per-frame blend+pack exists anywhere — the round-2 cached design's
+    crossfade-frame full-panorama rebuild is gone by construction.
     """
     h, w = sky_texels.shape[1], sky_texels.shape[2]
     if grouped is None:
         grouped = grouped_sky_ok(h, w)
-    vars0 = jnp.full((4,), jnp.nan, jnp.float32)
-    if grouped:
-        packed0 = jnp.zeros(
-            (4 * (h // SKY_TILE_Y) * (w // SKY_TILE_X), SKY_TILE_Y * SKY_TILE_X),
-            jnp.int32)
-    else:
-        packed0 = jnp.zeros((h * w,), jnp.int32)
-    return vars0, packed0
+    texels = jnp.asarray(sky_texels)
+    return pack_sky_phases_all(texels) if grouped else pack_sky_all(texels)
+
+
+def sample_sky_packed_pair(packed_all, h, w, d, day_frac, sky_vars):
+    """Flat equirect lookup on a pack_sky_all stack → (..., 3) f32 in [0,1].
+
+    Bit-identical to sample_sky_packed on a pack_sky(blend_sky(...)) plane
+    (same truncated two-term blend as sample_sky_grouped_pair, applied per
+    pixel). The fallback for sky shapes the grouped layout can't tile.
+    """
+    iy, ix = _equirect_indices(h, w, d, day_frac)
+    idx = iy * w + ix
+    ia, ib, wa, wb = sky_blend_bands(sky_vars)
+    flat = packed_all.reshape(-1)
+    hw = h * w
+
+    def one(_):
+        t = flat[ia * hw + idx]
+        return jnp.stack([t & 0xFF, (t >> 8) & 0xFF, (t >> 16) & 0xFF],
+                         axis=-1).astype(jnp.float32)
+
+    def two(_):
+        ta = flat[ia * hw + idx]
+        tb = flat[ib * hw + idx]
+        chans = [jnp.floor(((ta >> s) & 0xFF).astype(jnp.float32) * wa)
+                 + jnp.floor(((tb >> s) & 0xFF).astype(jnp.float32) * wb)
+                 for s in (0, 8, 16)]
+        return jnp.stack(chans, axis=-1)
+
+    rgb = jax.lax.cond(wb > 0, two, one, None)
+    return rgb * jnp.float32(1.0 / 255.0)
 
 
 def _masked_median(g, valid):
@@ -286,10 +368,58 @@ def _masked_median(g, valid):
     return jnp.sum(jnp.where(hit, gv, 0), axis=1)
 
 
-def _grouped_pass(phases, h, w, gy, gx, gv):
+def _fetch_rows(phases):
+    """Row fetcher over a single pack_sky_phases plane: tid → (NG, 128) f32."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def fetch(tid):
+        win = jax.lax.gather(
+            phases, tid[:, None], dn,
+            slice_sizes=(1, SKY_TILE_Y * SKY_TILE_X),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)[:, 0, :]
+        return win.astype(jnp.float32)       # texels < 2^24: exact
+    return fetch
+
+
+def _fetch_rows_pair(phases_all, sky_vars):
+    """Row fetcher over a stacked pack_sky_phases_all tensor.
+
+    Gathers the window from the ≤2 active panoramas and blends them with
+    the truncated per-channel arithmetic (_blend_windows). Pure bands
+    (wb = 0) take a one-gather branch, so outside the 2 h crossfades the
+    resolve costs exactly what a pre-blended plane costs.
+    """
+    n_rows = phases_all.shape[1]
+    flat = phases_all.reshape(-1, phases_all.shape[-1])
+    ia, ib, wa, wb = sky_blend_bands(sky_vars)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def gather_band(tid, band):
+        return jax.lax.gather(
+            flat, (tid + band * n_rows)[:, None], dn,
+            slice_sizes=(1, SKY_TILE_Y * SKY_TILE_X),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)[:, 0, :]
+
+    def fetch(tid):
+        def pure(_):
+            # wa == 1 in a pure band: trunc(tex·1) = tex — the raw panorama
+            # IS the blended plane, one gather like the cached design
+            return gather_band(tid, ia).astype(jnp.float32)
+
+        def fade(_):
+            return _blend_windows(gather_band(tid, ia), gather_band(tid, ib),
+                                  wa, wb)
+
+        return jax.lax.cond(wb > 0, fade, pure, None)
+    return fetch
+
+
+def _grouped_pass(fetch, h, w, gy, gx, gv):
     """One grouped-gather pass: anchor on the valid pixels, fetch one
-    128-texel window per group, select per pixel. Returns (texel f32,
-    covered bool), both (NG, G)."""
+    128-texel window per group (fetch: tid → (NG, 128) f32 packed texels),
+    select per pixel. Returns (texel f32, covered bool), both (NG, G)."""
     ty, tx = SKY_TILE_Y, SKY_TILE_X
     hy, hx = ty // 2, tx // 2
     nty, ntx = h // ty, w // tx
@@ -313,18 +443,12 @@ def _grouped_pass(phases, h, w, gy, gx, gv):
     k = jnp.mod((sx - px * hx) // tx, ntx)
     tid = (py * 2 + px) * (nty * ntx) + r * ntx + k
 
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-    win = jax.lax.gather(
-        phases, tid[:, None], dn, slice_sizes=(1, ty * tx),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)[:, 0, :]
+    winf = fetch(tid)                                 # (NG, 128) f32, exact
 
     oy_raw = gy - sy[:, None]
     ox_raw = gxu - sx[:, None]
     covered = (oy_raw >= 0) & (oy_raw < ty) & (ox_raw >= 0) & (ox_raw < tx)
     off = (jnp.clip(oy_raw, 0, ty - 1) * tx + jnp.clip(ox_raw, 0, tx - 1))
-
-    winf = win.astype(jnp.float32)                    # texels < 2^24: exact
     if SKY_SELECT == "binary":
         # per-pixel select of 1-of-128 by folding the window in half once
         # per offset bit: 7 wheres over shrinking slices (~127 elementwise
@@ -359,6 +483,27 @@ def sample_sky_grouped(phases, h, w, d, day_frac, valid=None,
     practice, even at tiny framebuffers where per-pixel ray divergence is
     extreme) fall back to the nearest fetched texel.
     """
+    return _sample_grouped(_fetch_rows(phases), h, w, d, day_frac, valid,
+                           with_coverage)
+
+
+def sample_sky_grouped_pair(phases_all, h, w, d, day_frac, sky_vars,
+                            valid=None, with_coverage=False):
+    """Grouped sky lookup on a pack_sky_phases_all stack → (..., 3) f32.
+
+    Blends the ≤2 active panoramas per gathered window with the reference's
+    truncated arithmetic — bit-identical to sample_sky_grouped on a
+    pre-blended pack_sky_phases(blend_sky(...)) plane (same texel values,
+    same anchors, same select), with NO per-frame blend+pack: crossfade
+    frames pay one extra row-gather per group instead of a full-panorama
+    rebuild, and pure-band frames take the one-gather branch.
+    """
+    return _sample_grouped(_fetch_rows_pair(phases_all, sky_vars), h, w, d,
+                           day_frac, valid, with_coverage)
+
+
+def _sample_grouped(fetch, h, w, d, day_frac, valid=None,
+                    with_coverage=False):
     iy, ix = _equirect_indices(h, w, d, day_frac)
     shape = iy.shape
     # group size scales with row width: 16-pixel groups need 16 adjacent
@@ -383,9 +528,9 @@ def sample_sky_grouped(phases, h, w, d, day_frac, valid=None,
     gx = ix.reshape(-1, group)
     gv = v.reshape(-1, group)
 
-    t1, c1 = _grouped_pass(phases, h, w, gy, gx, gv)
-    t2, c2 = _grouped_pass(phases, h, w, gy, gx, gv & ~c1)
-    t3, c3 = _grouped_pass(phases, h, w, gy, gx, gv & ~c1 & ~c2)
+    t1, c1 = _grouped_pass(fetch, h, w, gy, gx, gv)
+    t2, c2 = _grouped_pass(fetch, h, w, gy, gx, gv & ~c1)
+    t3, c3 = _grouped_pass(fetch, h, w, gy, gx, gv & ~c1 & ~c2)
     texel = jnp.where(c1, t1, jnp.where(c2, t2, t3)).astype(jnp.int32).reshape(-1)
     covered = c1 | c2 | c3
     if pad:

@@ -19,7 +19,9 @@ class RenderConfig:
     path: str = "auto"          # raytracer: 'pallas' | 'fast' | 'oracle' | 'auto'
     # 'auto' → the Pallas megakernel on TPU, the fused-XLA fast path elsewhere
     scene: str = "island"       # scene family: 'island' | 'classic'
-    sky_cache: bool = True      # reuse the pre-blended sky across frames
+    sky_cache: bool = True      # static all-panorama sky stack (pair blend
+                                # at resolve time); False = per-frame
+                                # blend+pack one-shot path (debug knob)
     sky_mode: str = "auto"      # sky resolve: 'grouped' | 'flat' | 'auto'
     # 'auto' → the grouped (one gather per 8 pixels) resolve when the sky
     # shape is tile-divisible; 'flat' forces the per-pixel gather.
@@ -27,6 +29,15 @@ class RenderConfig:
     sky_source: str = "auto"    # 'reference' | 'procedural' | 'auto'
     sky_downsample: int = 1     # point-sample every k-th sky texel
     procedural_sky_shape: tuple = (2048, 4096)
+    shard_interleave: int = 1   # sharded engines: strided sub-bands per
+    # device (device d renders row chunks d, d+n, …) — balances the skewed
+    # top-sky/bottom-water row cost across devices on real multi-chip
+    # hardware; 1 = contiguous bands. Output is bit-identical either way.
+    preview: int = 1            # windowed-viewer readback downsample: render
+    # full-res on device, box-downsample by this factor on device, read back
+    # the small buffer and upscale in the blit. Cuts the per-frame
+    # device→host transfer by preview² — the tunnel-era stand-in for the
+    # reference's zero-copy GL-interop present (main.cpp:141-165). 1 = off.
     aspect: float | None = None  # None → width/height.
     # NOTE: the reference initializes camera corners with aspect = 1.7777
     # (scene.cpp:20) and only refreshes them on mouse motion, so a run with an
@@ -67,6 +78,16 @@ class RenderConfig:
                              f">= 8, got {self.procedural_sky_shape!r}")
         if self.aspect is not None and not self.aspect > 0:
             raise ValueError(f"aspect must be positive, got {self.aspect}")
+        if self.preview < 1:
+            raise ValueError(f"preview must be >= 1, got {self.preview}")
+        if self.shard_interleave < 1:
+            raise ValueError(f"shard_interleave must be >= 1, got "
+                             f"{self.shard_interleave}")
+        if self.preview > 1 and (self.width % self.preview
+                                 or self.height % self.preview):
+            raise ValueError(
+                f"preview={self.preview} must divide the framebuffer "
+                f"({self.width}x{self.height})")
 
     def resolved_path(self, backend: str | None = None) -> str:
         if self.path != "auto":

@@ -62,21 +62,22 @@ def test_indivisible_height_raises(setup):
 def test_sharded_pallas_matches_single_chip(setup):
     """Megakernel inside shard_map: band-offset ray generation must make the
     sharded pallas render bit-identical to the single-chip render of the
-    SAME pipeline (cached-sky + grouped resolve — bands are whole rows, so
-    sky groups and anchors are identical across the two)."""
+    SAME pipeline (static-sky + grouped pair resolve — bands are whole rows,
+    so sky groups and anchors are identical across the two)."""
     scene, sky, st = setup
-    from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+    from raytracing_cuda_tpu.render.pipeline import render_frame_static_sky
     from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
-    from raytracing_cuda_tpu.scene.textures import sky_cache_init
+    from raytracing_cuda_tpu.scene.textures import sky_static_init
 
     mesh = make_mesh(4)
-    cv, cp = sky_cache_init(sky)
-    single, _, _ = render_frame_cached_sky(
-        scene, st, sky, cv, cp, H, W,
+    sp = sky_static_init(sky)
+    single = render_frame_static_sky(
+        scene, st, sp, sky.shape[1], sky.shape[2], H, W,
         tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
     sharded = np.asarray(render_frame_sharded(
         scene, st, sky, mesh=mesh, height=H, width=W,
-        path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS))
+        path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS,
+        sky_pack=sp))
     assert np.array_equal(np.asarray(single), sharded)
 
     # and the flat-resolve single-chip render agrees within the parity gate
@@ -87,6 +88,13 @@ def test_sharded_pallas_matches_single_chip(setup):
     assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
 
 
+def test_sharded_pallas_requires_sky_pack(setup):
+    scene, sky, st = setup
+    with pytest.raises(ValueError, match="sky_pack"):
+        render_frame_sharded(scene, st, sky, mesh=make_mesh(2), height=H,
+                             width=W, path="pallas_interpret")
+
+
 def test_sharded_wide_frame_16_group_parity(setup):
     """At widths >= 512 the sky resolve switches to 16-pixel groups
     (textures.sky_group_for_width); the band-local flatten must still
@@ -95,21 +103,22 @@ def test_sharded_wide_frame_16_group_parity(setup):
     match the oracle (this is the only CPU coverage of the group=16 path
     every real 720p frame takes)."""
     scene, sky, st = setup
-    from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+    from raytracing_cuda_tpu.render.pipeline import render_frame_static_sky
     from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
-    from raytracing_cuda_tpu.scene.textures import (sky_cache_init,
-                                                    sky_group_for_width)
+    from raytracing_cuda_tpu.scene.textures import (sky_group_for_width,
+                                                    sky_static_init)
 
     WH, WW = 16, 512                     # band 8 x 512 = 4096 ≡ 0 (mod 16)
     assert sky_group_for_width(WW) == 16
     mesh = make_mesh(2)
-    cv, cp = sky_cache_init(sky)
-    single, _, _ = render_frame_cached_sky(
-        scene, st, sky, cv, cp, WH, WW,
+    sp = sky_static_init(sky)
+    single = render_frame_static_sky(
+        scene, st, sp, sky.shape[1], sky.shape[2], WH, WW,
         tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
     sharded = np.asarray(render_frame_sharded(
         scene, st, sky, mesh=mesh, height=WH, width=WW,
-        path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS))
+        path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS,
+        sky_pack=sp))
     assert np.array_equal(np.asarray(single), sharded)
 
     oracle = np.asarray(render_frame(scene, st, sky, WH, WW, chunk=4096,
@@ -118,39 +127,102 @@ def test_sharded_wide_frame_16_group_parity(setup):
     assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
 
 
-def test_sharded_cached_sky_matches_and_traces_one_kernel(setup):
-    """Cached-sky sharded render: identical to the uncached sharded render,
-    returns the cache carry, skips the 4-panorama blend on reuse, and the
-    whole sharded program contains exactly ONE pallas_call (row0 rides the
-    SMEM params vector — no per-band kernel variants)."""
+def test_sharded_static_sky_repeatable_and_traces_one_kernel(setup):
+    """Static-sky sharded render: deterministic across calls (the static
+    pack is read-only state) and the whole sharded program contains exactly
+    ONE pallas_call (row0 rides the SMEM params vector — no per-band kernel
+    variants)."""
     scene, sky, st = setup
     from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
-    from raytracing_cuda_tpu.scene.textures import sky_cache_init
+    from raytracing_cuda_tpu.scene.textures import sky_static_init
 
     mesh = make_mesh(4)
+    sp = sky_static_init(sky)
     kw = dict(mesh=mesh, height=H, width=W, path="pallas_interpret",
-              tri_clusters=ISLAND_TRI_CLUSTERS)
-    uncached = np.asarray(render_frame_sharded(scene, st, sky, **kw))
-    cv, cp = sky_cache_init(sky)
-    img1, cv1, cp1 = render_frame_sharded(
-        scene, st, sky, cached_vars=cv, cached_packed=cp, **kw)
-    assert np.array_equal(np.asarray(img1), uncached)
-    # second frame reuses the cache (same sky_vars -> no re-blend) exactly
-    img2, cv2, cp2 = render_frame_sharded(
-        scene, st, sky, cached_vars=cv1, cached_packed=cp1, **kw)
-    assert np.array_equal(np.asarray(img2), uncached)
-    assert np.array_equal(np.asarray(cp1), np.asarray(cp2))
+              tri_clusters=ISLAND_TRI_CLUSTERS, sky_pack=sp)
+    img1 = np.asarray(render_frame_sharded(scene, st, sky, **kw))
+    img2 = np.asarray(render_frame_sharded(scene, st, sky, **kw))
+    assert np.array_equal(img1, img2)
 
     jaxpr = jax.make_jaxpr(
-        lambda sc, s, sk, v, p: render_frame_sharded(
-            sc, s, sk, cached_vars=v, cached_packed=p, **kw)
-    )(scene, st, sky, cv, cp)
+        lambda sc, s, sk, p: render_frame_sharded(
+            sc, s, sk, mesh=mesh, height=H, width=W,
+            path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS,
+            sky_pack=p))(scene, st, sky, sp)
     assert str(jaxpr).count("pallas_call") == 1
 
 
-def test_engine_sharded_cached_fused_step():
+@pytest.mark.parametrize("k", [2, 4])
+def test_sharded_interleaved_bit_parity_fast(setup, k):
+    """Strided sub-band assignment (device d renders chunks d, d+n, …) must
+    be bit-identical to the contiguous-band and single-chip renders — the
+    un-interleave reshape, per-chunk ray offsets and the slot-shifted wrap
+    halos all have to line up exactly."""
+    scene, sky, st = setup
+    mesh = make_mesh(4)
+    single = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                     path="fast"))
+    strided = np.asarray(render_frame_sharded(
+        scene, st, sky, mesh=mesh, height=H, width=W, chunk=2048,
+        interleave=k))
+    assert np.array_equal(single, strided), (
+        f"{(single != strided).any(-1).mean():.4%} pixels differ "
+        f"(interleave={k})")
+
+
+def test_sharded_interleaved_bit_parity_pallas(setup):
+    scene, sky, st = setup
+    from raytracing_cuda_tpu.render.pipeline import render_frame_static_sky
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+    from raytracing_cuda_tpu.scene.textures import sky_static_init
+
+    mesh = make_mesh(4)
+    sp = sky_static_init(sky)
+    single = render_frame_static_sky(
+        scene, st, sp, sky.shape[1], sky.shape[2], H, W,
+        tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
+    strided = np.asarray(render_frame_sharded(
+        scene, st, sky, mesh=mesh, height=H, width=W,
+        path="pallas_interpret", tri_clusters=ISLAND_TRI_CLUSTERS,
+        sky_pack=sp, interleave=2))
+    assert np.array_equal(np.asarray(single), strided)
+
+
+def test_sharded_interleave_indivisible_raises(setup):
+    scene, sky, st = setup
+    with pytest.raises(ValueError, match="interleave"):
+        render_frame_sharded(scene, st, sky, mesh=make_mesh(4), height=H,
+                             width=W, interleave=3)   # 64 % 12 != 0
+
+
+def test_engine_sharded_multiframe_matches_single_chip():
+    """Engine(sharded=True) stepping several frames — including across the
+    9-10 h sky crossfade — must produce bit-identical frames to the
+    single-chip engine fed the same actions (VERDICT r2 #5a)."""
+    import jax.numpy as jnp
+
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.sim.actions import Action
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=128, height=64, sky_source="procedural",
+                       procedural_sky_shape=(32, 64),
+                       path="pallas_interpret", chunk=2048)
+    eng_m = Engine(cfg, sharded=True)
+    eng_s = Engine(cfg)
+    st0 = sim.settle(sim.init_state()._replace(day_time=jnp.float32(8.95)))
+    eng_m.set_state(st0)
+    eng_s.set_state(st0)
+    act = Action.idle()._replace(mouse_dx=np.float32(3.0))
+    for i in range(3):
+        a = np.asarray(eng_m.step_and_frame(act, 0.25))  # dt crosses the fade
+        b = np.asarray(eng_s.step_and_frame(act, 0.25))
+        assert np.array_equal(a, b), f"frame {i} diverged"
+
+
+def test_engine_sharded_static_fused_step():
     """Engine(sharded=True) on the pallas path: frame() and the fused
-    step_and_frame/batch run through the mesh with the cached sky."""
+    step_and_frame/batch run through the mesh with the static sky stack."""
     from raytracing_cuda_tpu.app.loop import Engine
     from raytracing_cuda_tpu.sim.actions import Action
     from raytracing_cuda_tpu.utils.config import RenderConfig

@@ -260,11 +260,11 @@ def test_batch_render_matches_sequential(scene, sky):
     vecs = jnp.asarray(np.stack([
         Action.idle()._replace(mouse_dx=np.float32(2.0 * i)).pack(1 / 60)
         for i in range(K)]))
-    from raytracing_cuda_tpu.scene.textures import sky_cache_init
+    from raytracing_cuda_tpu.scene.textures import sky_static_init
 
-    cv, cp = sky_cache_init(sky)
-    imgs, _, _, _ = render_frames_batch(
-        scene, st0, sky, cv, cp, vecs, H, W,
+    sp = sky_static_init(sky)
+    imgs, _ = render_frames_batch(
+        scene, st0, sp, sky.shape[1], sky.shape[2], vecs, H, W,
         tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
     imgs = np.asarray(imgs, np.float32)
 
@@ -278,23 +278,23 @@ def test_batch_render_matches_sequential(scene, sky):
         assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3, f"frame {i}"
 
 
-def test_cached_sky_grouped_matches_oracle(scene, sky):
-    """The Engine's hot path (render_frame_cached_sky with the grouped sky
+def test_static_sky_grouped_matches_oracle(scene, sky):
+    """The Engine's hot path (render_frame_static_sky with the grouped pair
     resolve) must match the oracle frame-for-frame, including across a sky
-    crossfade (cache invalidation) and camera motion."""
-    from raytracing_cuda_tpu.render.pipeline import render_frame_cached_sky
+    crossfade (the two-gather blend branch) and camera motion."""
+    from raytracing_cuda_tpu.render.pipeline import render_frame_static_sky
     from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
-    from raytracing_cuda_tpu.scene.textures import sky_cache_init
+    from raytracing_cuda_tpu.scene.textures import sky_static_init
 
-    cv, cp = sky_cache_init(sky)
-    assert cp.ndim == 2   # grouped mode selected for this sky shape
+    sp = sky_static_init(sky)
+    assert sp.ndim == 3   # grouped mode selected for this sky shape
     st = sim.settle(sim.init_state()._replace(day_time=jnp.float32(8.9)))
     for i in range(3):
         st = sim.animate(
             st, Action.idle()._replace(mouse_dx=np.float32(4.0 * i)),
             jnp.float32(0.25))  # big dt: crosses the 9-10h crossfade
-        img, cv, cp = render_frame_cached_sky(
-            scene, st, sky, cv, cp, H, W,
+        img = render_frame_static_sky(
+            scene, st, sp, sky.shape[1], sky.shape[2], H, W,
             tri_clusters=ISLAND_TRI_CLUSTERS, interpret=True)
         ref = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
                                       path="oracle"), np.float32)
@@ -303,17 +303,17 @@ def test_cached_sky_grouped_matches_oracle(scene, sky):
         assert rmse < 2e-3, f"frame {i}: rmse {rmse}"
 
 
-def test_engine_cached_frame_wiring(scene, sky):
-    """Engine.frame()/step_and_frame() on the cached pallas path (interpret
-    mode on CPU): the render-only and fused-step entries must thread the
-    sky cache correctly and agree with the oracle."""
+def test_engine_static_frame_wiring(scene, sky):
+    """Engine.frame()/step_and_frame() on the static-sky pallas path
+    (interpret mode on CPU): the render-only and fused-step entries must use
+    the startup-packed sky stack and agree with the oracle."""
     from raytracing_cuda_tpu.app.loop import Engine
     from raytracing_cuda_tpu.utils.config import RenderConfig
 
     eng = Engine(RenderConfig(width=W, height=H, path="pallas_interpret",
                               sky_source="procedural",
                               procedural_sky_shape=(64, 128), chunk=4096))
-    assert eng._cached_packed.ndim == 2    # grouped resolve selected
+    assert eng._sky_pack.ndim == 3    # grouped pair resolve selected
 
     img1 = np.asarray(eng.frame(), np.float32)       # render-only entry
     img2 = np.asarray(eng.frame(), np.float32)       # cache now warm

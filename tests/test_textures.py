@@ -156,14 +156,65 @@ def test_grouped_resolve_invalid_pixels_cannot_poison_groups():
     assert np.array_equal(np.asarray(got)[m], ref[m])
 
 
-def test_sky_cache_init_shapes():
+def test_sky_static_init_shapes():
     from raytracing_cuda_tpu.scene.textures import (SKY_TILE_X, SKY_TILE_Y,
-                                                    sky_cache_init)
+                                                    sky_static_init)
 
     tex = procedural_skies(64, 128)
-    cv, cp = sky_cache_init(jnp.asarray(tex))
-    assert cp.shape == (4 * (64 // SKY_TILE_Y) * (128 // SKY_TILE_X),
+    sp = sky_static_init(jnp.asarray(tex))
+    assert sp.shape == (4, 4 * (64 // SKY_TILE_Y) * (128 // SKY_TILE_X),
                         SKY_TILE_Y * SKY_TILE_X)
-    assert np.isnan(np.asarray(cv)).all()
-    cv2, cp2 = sky_cache_init(jnp.asarray(tex), grouped=False)
-    assert cp2.shape == (64 * 128,)
+    sp2 = sky_static_init(jnp.asarray(tex), grouped=False)
+    assert sp2.shape == (4, 64 * 128)
+
+
+def test_sky_blend_bands_picks_active_panoramas():
+    """sky_blend_bands must recover the ≤2 nonzero weights of calc_sky_vars
+    across the whole clock (pure bands, fades, the fade midpoint tie)."""
+    from raytracing_cuda_tpu.scene.textures import sky_blend_bands
+    from raytracing_cuda_tpu.sim.state import calc_sky_vars
+
+    for day in (6.0, 7.9, 8.5, 9.0, 9.99, 14.0, 16.5, 17.0, 19.0, 21.3,
+                23.0, 1.0, 4.4, 5.0, 5.9):
+        sv = np.asarray(calc_sky_vars(day))
+        ia, ib, wa, wb = (np.asarray(v) for v in sky_blend_bands(sv))
+        w = np.zeros(4, np.float32)
+        w[ia] += wa
+        w[int(ib)] += wb
+        assert np.allclose(w, sv, atol=0), f"day {day}: {w} vs {sv}"
+        assert wa >= wb >= 0
+
+
+def test_pair_resolve_bit_identical_to_preblended():
+    """The static-stack pair resolve must be bit-identical to resolving a
+    pre-blended pack — in pure bands (one-gather branch) AND mid-fade
+    (two-gather truncated blend), grouped and flat."""
+    from raytracing_cuda_tpu.scene.textures import (
+        pack_sky_phases, pack_sky, sample_sky_grouped,
+        sample_sky_grouped_pair, sample_sky_packed_pair, sky_static_init)
+
+    rng = np.random.default_rng(21)
+    H, W = 64, 128
+    tex = rng.integers(0, 256, (4, H, W, 3)).astype(np.uint8)
+    texj = jnp.asarray(tex)
+    sp_grouped = sky_static_init(texj)
+    sp_flat = sky_static_init(texj, grouped=False)
+    d = _smooth_dirs(32, 64, outlier_frac=0.02)
+    valid = jnp.asarray(rng.random((32, 64)) > 0.3)
+    for sv in ([0, 1, 0, 0], [0.25, 0.75, 0, 0], [0, 0, 0.95, 0.05],
+               [0.5, 0, 0, 0.5]):
+        svj = jnp.asarray(sv, jnp.float32)
+        blended = blend_sky(texj, svj)
+        ref_flat = np.asarray(sample_sky_packed(pack_sky(blended), H, W,
+                                                d, 0.37))
+        got_flat = np.asarray(sample_sky_packed_pair(sp_flat, H, W, d, 0.37,
+                                                     svj))
+        assert np.array_equal(got_flat, ref_flat), f"flat {sv}"
+        ref_g, ref_cov = sample_sky_grouped(
+            pack_sky_phases(blended), H, W, d, 0.37, valid=valid,
+            with_coverage=True)
+        got_g, got_cov = sample_sky_grouped_pair(
+            sp_grouped, H, W, d, 0.37, svj, valid=valid, with_coverage=True)
+        assert np.array_equal(np.asarray(got_cov), np.asarray(ref_cov))
+        assert np.array_equal(np.asarray(got_g), np.asarray(ref_g)), \
+            f"grouped {sv}"
