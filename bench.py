@@ -388,6 +388,15 @@ def main():
         stats_fade = eng.run(n_fade, action_fn=camera_path, dt=1 / 60)
         details["crossfade_sustained_fps"] = round(stats_fade.fps, 2)
 
+        # 4c. Pinned low-sun worst case (VERDICT r2 #2): island camera with
+        # the sun grazing the mountain ring — near-horizontal shadow rays
+        # sweep the most clusters (the 60.3 fps soak floor). Frozen state,
+        # pipelined frame time.
+        ms = time_frames(eng, preset_state(day=17.6, cam_preset=0), n=10,
+                         warmup=3) * 1e3
+        details["low_sun_worst_ms"] = round(ms, 2)
+        details["low_sun_worst_fps"] = round(1e3 / ms, 2)
+
     # 5. Sustained real-time loop: animated camera + automatic time (headline)
     eng.set_state(sim.settle(sim.init_state()))
     stats = eng.run(frames, action_fn=camera_path, dt=1 / 60, batch=args.batch)

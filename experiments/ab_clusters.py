@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--t-bound-b", type=int, default=1)
     ap.add_argument("--split-a", type=int, default=1)
     ap.add_argument("--split-b", type=int, default=1)
+    ap.add_argument("--subs-a", default=None,
+                    help="per-tri-cluster sub-bound counts, e.g. "
+                         "'1,1,1,1,1,1,1,2,2,2,2,2,2' (pairs → per-mountain)")
+    ap.add_argument("--subs-b", default=None)
     args = ap.parse_args()
 
     if args.max_clusters:
@@ -72,15 +76,19 @@ def main():
         return tuple((int(c.split(":")[0]), bool(int(c.split(":")[1])))
                      for c in s.split(","))
 
+    def subs(s):
+        return tuple(int(v) for v in s.split(",")) if s else None
+
     ta, tb = tri(args.a), tri(args.b)
     sa, sb = sph(args.sph_a), sph(args.sph_b)
+    ua, ub = subs(args.subs_a), subs(args.subs_b)
     tile_a = tile(args.tile_a)
     tile_b = tile(args.tile_b) if args.tile_b else tile_a
-    if (ta == tb and sa == sb and tile_a == tile_b
+    if (ta == tb and sa == sb and tile_a == tile_b and ua == ub
             and args.t_bound_a == args.t_bound_b
             and args.split_a == args.split_b):
         raise SystemExit("A and B are identical — vary --a/--b, --sph-*, "
-                         "--tile-*, --t-bound-* or --split-*")
+                         "--subs-*, --tile-*, --t-bound-* or --split-*")
 
     scene = jax.device_put(build_scene())
     st = sim.init_state()._replace(day_time=jnp.float32(args.day))
@@ -94,15 +102,15 @@ def main():
     scene_f, lights, ambient = jax.jit(sim.derive_frame)(scene, st)
     rays = jax.jit(sim.camera_rays, static_argnums=1)(st.cam, w / h)
 
-    def make(tc, sc, th, tw, tbf, split):
+    def make(tc, sc, th, tw, tbf, split, t_subs):
         fn = jax.jit(lambda: render_base_planes_pallas(
             scene_f, lights, ambient, rays, h, w, tile_h=th, tile_w=tw,
             tri_clusters=tc, sph_clusters=sc, t_bound=bool(tbf),
-            lane_split=split))
+            lane_split=split, t_subs=t_subs))
         return fn
 
-    fa = make(ta, sa, *tile_a, args.t_bound_a, args.split_a)
-    fb = make(tb, sb, *tile_b, args.t_bound_b, args.split_b)
+    fa = make(ta, sa, *tile_a, args.t_bound_a, args.split_a, ua)
+    fb = make(tb, sb, *tile_b, args.t_bound_b, args.split_b, ub)
 
     def block(fn, n):
         t0 = time.perf_counter()

@@ -91,8 +91,10 @@ P_AMBIENT = 29       # 29-31
 P_SEAY = 32          # sea plane height
 P_ROW0 = 33          # global row offset of this shard's band (f32-exact int;
                      # lives in SMEM so ONE compiled kernel serves every band)
-P_CLUSTERS = 36      # up to MAX_CLUSTERS x (cx, cy, cz, r) cluster bounds:
-MAX_CLUSTERS = 16    # triangle clusters first, then sphere clusters
+P_CLUSTERS = 36      # up to MAX_CLUSTERS x (cx, cy, cz, r) cull-bound slots:
+MAX_CLUSTERS = 24    # triangle cluster SUB-bounds first (t_subs may refine
+                     # a sweep cluster into several tighter bounds, OR-ed in
+                     # the cull), then sphere cluster bounds
 N_PARAMS = P_CLUSTERS + 4 * MAX_CLUSTERS
 
 
@@ -120,6 +122,27 @@ def sph_cluster_norm(S: int, sph_clusters):
     assert sum(counts) == S, (sph_clusters, S)
     return (counts, tuple(_round_up(c, 8) for c in counts),
             tuple(bool(o) for _, o in sph_clusters))
+
+
+def tri_sub_partition(tri_clusters, t_subs):
+    """Refined triangle partition for cull bounds.
+
+    t_subs[k] (default 1) splits sweep cluster k's bound into that many
+    equal consecutive sub-bounds — the sweep still runs the whole cluster,
+    but its cull becomes an OR of tighter tests (e.g. a mountain PAIR swept
+    as 8 rows keeps two per-mountain bounds: near-horizontal shadow rays
+    graze single mountains far more often than pair-wide spheres).
+    Returns the flat list of sub-cluster triangle counts.
+    """
+    if not t_subs:
+        return tuple(tri_clusters)
+    assert len(t_subs) == len(tri_clusters), (t_subs, tri_clusters)
+    out = []
+    for cnt, m in zip(tri_clusters, t_subs):
+        if cnt % m:
+            raise ValueError(f"t_subs {m} must divide cluster count {cnt}")
+        out.extend([cnt // m] * m)
+    return tuple(out)
 
 
 def pack_scene(scene: Scene, tri_clusters=None, sph_clusters=None):
@@ -211,15 +234,19 @@ def pack_scene(scene: Scene, tri_clusters=None, sph_clusters=None):
     return rows[:, None, :]          # (N_OBJ_PAD, 1, N_CHANNELS)
 
 
-def cluster_bounds(scene: Scene, tri_clusters=None, sph_clusters=None):
-    """Bounding sphere (cx, cy, cz, r) per cluster → (K_tri + K_sph, 4) f32.
+def cluster_bounds(scene: Scene, tri_clusters=None, sph_clusters=None,
+                   t_subs=None):
+    """Bounding sphere (cx, cy, cz, r) per cull bound → (K_sub + K_sph, 4).
 
     Conservative: AABB center of the cluster's vertices (or sphere
     centers), radius to the farthest vertex / sphere surface plus a small
     epsilon for float slack. Runs per frame inside jit — sphere clusters
     containing the orbiting sun/moon proxies get fresh bounds each frame.
+    t_subs refines triangle clusters into several sub-bounds each (see
+    tri_sub_partition).
     """
-    counts = list(tri_clusters) if tri_clusters else [scene.n_triangles]
+    counts = list(tri_sub_partition(tri_clusters, t_subs)) \
+        if tri_clusters else [scene.n_triangles]
     v0 = scene.tri_v0
     v1 = v0 + scene.tri_e1
     v2 = v0 + scene.tri_e2
@@ -438,7 +465,7 @@ def _sph_occ_partial(Csk, ox, oy, oz, dx, dy, dz, max_dist):
 
 
 def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
-                 total_w=None, t_bound=True, lane_split=1):
+                 total_w=None, t_bound=True, lane_split=1, t_subs=None):
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -469,6 +496,23 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
         def cluster_bound(kk):
             b = P_CLUSTERS + 4 * kk
             return P[b], P[b + 1], P[b + 2], P[b + 3]
+
+        # triangle cull bounds may be refined: sweep cluster kk's cull is
+        # the OR of its t_subs[kk] sub-bound tests (tighter spheres — e.g.
+        # per-mountain bounds under a pair-wide sweep); sphere cluster
+        # bounds follow the tri sub-bounds in the params vector
+        subs = tuple(t_subs) if t_subs else (1,) * len(t_pads)
+        sub_off = [0]
+        for m in subs:
+            sub_off.append(sub_off[-1] + m)
+        n_tri_bounds = sub_off[-1]
+
+        def tri_possible(kk, obox, dbox, t_hi):
+            poss = None
+            for u in range(sub_off[kk], sub_off[kk + 1]):
+                p = _cluster_possible(*cluster_bound(u), obox, dbox, t_hi)
+                poss = p if poss is None else (poss | p)
+            return poss
 
         # --- primary rays (kernel.cu:244-253); P_ROW0/total_h address a band
         # of a larger framebuffer so multi-chip shards reproduce the exact
@@ -574,8 +618,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 candidates = [(t_pls, jnp.where(bsl(pl_hit, s) > 0, 0.0, 1e9))
                               + tuple(bsl(a, s) for a in pl_attrs)]
                 for kk, Ctk in enumerate(Ct_list):
-                    poss = _cluster_possible(*cluster_bound(kk), obox, dbox,
-                                             t_hi)
+                    poss = tri_possible(kk, obox, dbox, t_hi)
 
                     def sweep_k(args, Ctk=Ctk):
                         ox, oy, oz, dx, dy, dz, mx, my, mz = args
@@ -589,7 +632,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
 
                 for kk, Csk in enumerate(Cs_list):
                     poss = _cluster_possible(
-                        *cluster_bound(len(t_pads) + kk), obox, dbox, t_hi)
+                        *cluster_bound(n_tri_bounds + kk), obox, dbox, t_hi)
 
                     def sweep_s(args, Csk=Csk):
                         ox, oy, oz, dx, dy, dz, mx, my, mz = args
@@ -695,8 +738,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                               if t_bound else None)
                     occ_f = jnp.zeros((TH, TWB), f32)
                     for kk, Ctk in enumerate(Ct_list):
-                        poss = _cluster_possible(*cluster_bound(kk), hbox,
-                                                 sdbox, t_hi_s)
+                        poss = tri_possible(kk, hbox, sdbox, t_hi_s)
 
                         def occ_k(args, Ctk=Ctk):
                             (sox, soy, soz, sdx, sdy, sdz,
@@ -714,7 +756,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                             continue    # emissive-only cluster (sun/moon
                         #                 proxies): statically shadow-inert
                         poss = _cluster_possible(
-                            *cluster_bound(len(t_pads) + kk), hbox, sdbox,
+                            *cluster_bound(n_tri_bounds + kk), hbox, sdbox,
                             t_hi_s)
 
                         def occ_s(args, Csk=Csk):
@@ -850,14 +892,15 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "H", "W", "TH", "TW", "t_pads", "s_pads", "s_occl", "interpret",
-    "total_h", "total_w", "t_bound", "lane_split"))
+    "total_h", "total_w", "t_bound", "lane_split", "t_subs"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pads: tuple, s_occl: tuple,
                           TH: int = 16, TW: int = 256,
                           interpret: bool = False,
                           total_h: int | None = None,
                           total_w: int | None = None,
-                          t_bound: bool = True, lane_split: int = 1):
+                          t_bound: bool = True, lane_split: int = 1,
+                          t_subs: tuple | None = None):
     """Render a BATCH of frames in one launch.
 
     coefs (K, N_OBJ_PAD, 1, C), params (K, N_PARAMS) → 7 planes of
@@ -869,7 +912,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
     out = jax.ShapeDtypeStruct((K, H, W), f32)
     tile = lambda f, i, j: (f, i, j)
     kernel = _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h,
-                          total_w, t_bound, lane_split)
+                          total_w, t_bound, lane_split, t_subs)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -898,11 +941,12 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
                     TH: int = 16, TW: int = 256, interpret: bool = False,
                     total_h: int | None = None,
                     total_w: int | None = None, t_bound: bool = True,
-                    lane_split: int = 1):
+                    lane_split: int = 1, t_subs: tuple | None = None):
     """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
     planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
                                    s_pads, s_occl, TH, TW, interpret,
-                                   total_h, total_w, t_bound, lane_split)
+                                   total_h, total_w, t_bound, lane_split,
+                                   t_subs)
     return tuple(p[0] for p in planes)
 
 
@@ -912,7 +956,8 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               tri_clusters: tuple | None = None,
                               sph_clusters: tuple | None = None,
                               row0=0, total_height: int | None = None,
-                              t_bound: bool = True, lane_split: int = 1):
+                              t_bound: bool = True, lane_split: int = 1,
+                              t_subs: tuple | None = None):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
 
     tri_clusters: optional static partition of the triangle list (contiguous
@@ -933,17 +978,20 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     coef = pack_scene(scene, tri_clusters, sph_clusters)
     params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1],
                          row0=row0)
-    bounds = cluster_bounds(scene, tri_clusters, sph_clusters).reshape(-1)
+    bounds = cluster_bounds(scene, tri_clusters, sph_clusters,
+                            t_subs).reshape(-1)
     params = jax.lax.dynamic_update_slice(params, bounds, (P_CLUSTERS,))
     t_pads = tri_cluster_pads(scene.n_triangles, tri_clusters)
     _, s_pads, s_occl = sph_cluster_norm(scene.n_spheres, sph_clusters)
-    if len(t_pads) + len(s_pads) > MAX_CLUSTERS:
+    n_bounds = (len(tri_sub_partition(tri_clusters, t_subs))
+                if tri_clusters else 1) + len(s_pads)
+    if n_bounds > MAX_CLUSTERS:
         # a bare assert is stripped under -O, and the dynamic_update_slice
         # above would then clamp its start index and silently overwrite the
         # lights/camera params (same guard as render_frames_batch)
         raise ValueError(
-            f"{len(t_pads)} tri + {len(s_pads)} sphere clusters exceed "
-            f"MAX_CLUSTERS={MAX_CLUSTERS}; the bounds would overflow the "
+            f"{n_bounds} cull bounds (tri sub-bounds + sphere clusters) "
+            f"exceed MAX_CLUSTERS={MAX_CLUSTERS}; they would overflow the "
             f"params vector")
     # Mosaic executes partial edge blocks ~14x slower than full ones; render
     # at the next tile multiple and crop (the padded rays are harmless)
@@ -957,7 +1005,8 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     planes = raytrace_planes(coef, params, h_pad, w_pad, t_pads, s_pads,
                              s_occl, tile_h, tile_w, interpret,
                              total_height if total_height is not None
-                             else height, width, t_bound, lane_split)
+                             else height, width, t_bound, lane_split,
+                             t_subs)
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:height, :width] for p in planes)
     return planes

@@ -243,9 +243,15 @@ def test_pallas_t_bound_identical(scene, sky):
                                       t_bound=False, **kw)
         c = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
                                       t_bound=True, lane_split=2, **kw)
-        for pa, pb, pc in zip(a, b, c):
+        # refined cull bounds (mountain pairs → per-mountain sub-bounds,
+        # OR-ed in the cull) are a pure skip optimization too
+        d = render_base_planes_pallas(
+            scene_f, lights, ambient, rays, H, W, t_bound=True,
+            t_subs=(1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2), **kw)
+        for pa, pb, pc, pd in zip(a, b, c, d):
             assert np.array_equal(np.asarray(pa), np.asarray(pb))
             assert np.array_equal(np.asarray(pa), np.asarray(pc))
+            assert np.array_equal(np.asarray(pa), np.asarray(pd))
 
 
 def test_batch_render_matches_sequential(scene, sky):

@@ -55,6 +55,38 @@ def test_run_window_checkpoint_and_resize_events(tmp_path, monkeypatch):
     assert os.path.exists("raytracer_state.json")
 
 
+def test_run_window_preview_mode(tmp_path, monkeypatch):
+    """--preview N: the loop renders full-res, reads back the 1/N device
+    downsample and upscales in the blit — must run end-to-end."""
+    import dataclasses
+
+    monkeypatch.chdir(tmp_path)
+    from raytracing_cuda_tpu.app.window import run_window
+
+    cfg = dataclasses.replace(CFG, preview=2)
+    assert run_window(cfg, max_frames=2) == 2
+
+
+def test_engine_preview_downsample_shape():
+    from raytracing_cuda_tpu.app.loop import Engine
+    import dataclasses
+
+    eng = Engine(dataclasses.replace(CFG, preview=2))
+    small = np.asarray(eng.step_and_frame_preview(None, 1 / 60))
+    assert small.shape == (24, 32, 3) and small.dtype == np.uint8
+    # the preview is a box mean of the full-res frame rendered by the same
+    # fused step — check against the full frame of the NEXT identical step
+    # is not exact (state advanced), so just sanity-check the range
+    assert small.mean() > 0
+
+
+def test_preview_must_divide_framebuffer():
+    import dataclasses
+
+    with pytest.raises(ValueError, match="preview"):
+        dataclasses.replace(CFG, preview=7)   # 64 % 7 != 0
+
+
 def test_engine_resized_shares_assets_and_state():
     from raytracing_cuda_tpu.app.loop import Engine
 
