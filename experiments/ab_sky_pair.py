@@ -66,8 +66,8 @@ def main():
             fn = jax.jit(lambda s: _pallas_base(
                 scene_f, lights, ambient, rays, s, sh, sw, day_frac, h, w,
                 **kw))
-            arg = jax.jit(lambda: pack_sky_phases(
-                blend_sky(texels, st.sky_vars)))()
+            arg = jax.jit(lambda t, sv: pack_sky_phases(blend_sky(t, sv)))(
+                texels, st.sky_vars)
         out = jax.jit(lambda s: apply_fxaa_pallas(fn(s), st.aa))
         return out, arg
 

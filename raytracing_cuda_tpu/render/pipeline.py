@@ -182,9 +182,8 @@ def render_frames_batch(scene: Scene, state, sky_pack,
 
     from raytracing_cuda_tpu.render.fxaa import fxaa
     from raytracing_cuda_tpu.render.pallas_rt import (
-        N_PARAMS, P_CLUSTERS, _round_up, cluster_bounds, pack_params,
-        pack_scene, raytrace_planes_batch, sph_cluster_norm,
-        tri_cluster_pads)
+        P_CLUSTERS, _round_up, cluster_bounds, pack_params, pack_scene,
+        raytrace_planes_batch, sph_cluster_norm, tri_cluster_pads)
     from raytracing_cuda_tpu.render.reference import quantize
     from raytracing_cuda_tpu.sim.actions import Action
     from raytracing_cuda_tpu.sim.state import animate as sim_animate

@@ -220,6 +220,23 @@ def test_engine_sharded_multiframe_matches_single_chip():
         assert np.array_equal(a, b), f"frame {i} diverged"
 
 
+def test_engine_sharded_interleave_matches_contiguous():
+    """RenderConfig.shard_interleave plumbs through the Engine and matches
+    the contiguous-band engine bit-for-bit."""
+    import dataclasses
+
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=128, height=64, sky_source="procedural",
+                       procedural_sky_shape=(32, 64),
+                       path="pallas_interpret", chunk=2048)
+    a = Engine(cfg, sharded=True).frame_np()
+    b = Engine(dataclasses.replace(cfg, shard_interleave=2),
+               sharded=True).frame_np()
+    assert np.array_equal(a, b)
+
+
 def test_engine_sharded_static_fused_step():
     """Engine(sharded=True) on the pallas path: frame() and the fused
     step_and_frame/batch run through the mesh with the static sky stack."""
