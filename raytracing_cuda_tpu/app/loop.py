@@ -18,7 +18,7 @@ import numpy as np
 from raytracing_cuda_tpu.parallel.mesh import make_mesh, render_frame_sharded
 from raytracing_cuda_tpu.render.pipeline import render_frame
 from raytracing_cuda_tpu.scene.builders import (CLASSIC_CAMERA, SPH_CLUSTERS,
-                                                 TRI_CLUSTERS,
+                                                 TRI_CLUSTERS, TRI_SUBS,
                                                  build_named_scene)
 from raytracing_cuda_tpu.scene.textures import load_skies
 from raytracing_cuda_tpu.sim import state as sim
@@ -74,6 +74,7 @@ class Engine:
         self.path = self.config.resolved_path()
         self.tri_clusters = TRI_CLUSTERS.get(self.config.scene)
         self.sph_clusters = SPH_CLUSTERS.get(self.config.scene)
+        self.tri_subs = TRI_SUBS.get(self.config.scene)
         self._animate = jax.jit(sim.animate)
         c = self.config
         path = self.path
@@ -81,6 +82,7 @@ class Engine:
         is_pallas = path.startswith("pallas")
         clusters = self.tri_clusters if is_pallas else None
         s_clusters = self.sph_clusters if is_pallas else None
+        t_subs = self.tri_subs if is_pallas else None
 
         # --- unified render fn: (scene, state, sky) → img; covers
         # single-chip / sharded. Pallas paths resolve the sky from a STATIC
@@ -152,7 +154,7 @@ class Engine:
                     tri_clusters=clusters, sph_clusters=s_clusters,
                     sky_mode=sky_mode,
                     sky_pack=sky_pack if use_static else None,
-                    interleave=c.shard_interleave)
+                    interleave=c.shard_interleave, t_subs=t_subs)
         elif use_static:
             from raytracing_cuda_tpu.render.pipeline import (
                 render_frame_static_sky)
@@ -161,13 +163,14 @@ class Engine:
                 return render_frame_static_sky(
                     scene, state, sky_pack, sh, sw, c.height, c.width,
                     aspect=c.aspect, tri_clusters=clusters,
-                    sph_clusters=s_clusters, interpret=interpret)
+                    sph_clusters=s_clusters, interpret=interpret,
+                    t_subs=t_subs)
         else:
             def _render(scene, state, sky_texels, sky_pack):
                 return render_frame(scene, state, sky_texels, c.height,
                                     c.width, chunk=c.chunk, aspect=c.aspect,
                                     path=path, tri_clusters=clusters,
-                                    sph_clusters=s_clusters)
+                                    sph_clusters=s_clusters, t_subs=t_subs)
 
         self._render_only = jax.jit(_render)
 

@@ -69,7 +69,7 @@ def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str,
     jax.jit,
     static_argnames=("mesh", "height", "width", "chunk", "aspect",
                      "fxaa_static", "path", "tri_clusters", "sph_clusters",
-                     "sky_mode", "interleave"),
+                     "sky_mode", "interleave", "t_subs"),
 )
 def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          mesh: Mesh, height: int, width: int,
@@ -79,7 +79,8 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                          tri_clusters: tuple | None = None,
                          sph_clusters: tuple | None = None,
                          sky_mode: str = "auto",
-                         sky_pack=None, interleave: int = 1):
+                         sky_pack=None, interleave: int = 1,
+                         t_subs: tuple | None = None):
     """Row-sharded render of one frame → (height, width, 3) uint8.
 
     Output matches render_frame exactly: rays are generated from global row
@@ -154,7 +155,7 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
                     interpret=(path == "pallas_interpret"),
                     tri_clusters=tri_clusters, sph_clusters=sph_clusters,
                     row0=(chunk_id * sub).astype(jnp.float32),
-                    total_height=height)
+                    total_height=height, t_subs=t_subs)
                 r, g, b, mw, mdx, mdy, mdz = planes
                 mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
                 if sky_grouped:

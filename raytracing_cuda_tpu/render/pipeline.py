@@ -25,14 +25,15 @@ from raytracing_cuda_tpu.sim.state import FrameState, camera_rays, derive_frame
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "chunk", "aspect", "fxaa_static",
-                     "path", "tri_clusters", "sph_clusters"))
+                     "path", "tri_clusters", "sph_clusters", "t_subs"))
 def render_frame(scene: Scene, state: FrameState, sky_texels,
                  height: int, width: int, chunk: int = 32768,
                  aspect: float | None = None,
                  fxaa_static: bool | None = None,
                  path: str = "fast",
                  tri_clusters: tuple | None = None,
-                 sph_clusters: tuple | None = None):
+                 sph_clusters: tuple | None = None,
+                 t_subs: tuple | None = None):
     """Render one frame → (height, width, 3) uint8.
 
     aspect defaults to width/height (see RenderConfig.aspect for the
@@ -56,7 +57,7 @@ def render_frame(scene: Scene, state: FrameState, sky_texels,
                             sh, sw, day_frac, height, width,
                             interpret=(path == "pallas_interpret"),
                             tri_clusters=tri_clusters,
-                            sph_clusters=sph_clusters)
+                            sph_clusters=sph_clusters, t_subs=t_subs)
     else:
         render = {"fast": render_base_image_fast, "oracle": render_base_image}[path]
         base = render(scene_f, lights, ambient, blended, day_frac,
@@ -82,7 +83,7 @@ def _apply_aa(base, aa_flag, fxaa_static, pallas: bool):
 def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
                  day_frac, height, width, interpret=False,
                  tri_clusters=None, sph_clusters=None, sky_grouped=False,
-                 sky_vars=None):
+                 sky_vars=None, t_subs=None):
     """Megakernel + deferred sky resolve from a packed sky.
 
     With sky_vars=None, packed_sky is a per-frame pre-blended plane
@@ -101,7 +102,7 @@ def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
 
     r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
         scene_f, lights, ambient, rays, height, width, interpret=interpret,
-        tri_clusters=tri_clusters, sph_clusters=sph_clusters)
+        tri_clusters=tri_clusters, sph_clusters=sph_clusters, t_subs=t_subs)
     mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
     if sky_grouped and sky_vars is not None:
         sky = sample_sky_grouped_pair(packed_sky, sky_h, sky_w, mdir,
@@ -124,7 +125,8 @@ def render_frame_static_sky(scene: Scene, state: FrameState, sky_pack,
                             fxaa_static: bool | None = None,
                             tri_clusters: tuple | None = None,
                             sph_clusters: tuple | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            t_subs: tuple | None = None):
     """Pallas-path render from the STATIC all-panorama sky stack.
 
     sky_pack comes from textures.sky_static_init (packed once per sky, at
@@ -145,7 +147,8 @@ def render_frame_static_sky(scene: Scene, state: FrameState, sky_pack,
                         sky_w, day_frac, height, width,
                         tri_clusters=tri_clusters, sph_clusters=sph_clusters,
                         sky_grouped=sky_pack.ndim == 3,
-                        sky_vars=state.sky_vars, interpret=interpret)
+                        sky_vars=state.sky_vars, interpret=interpret,
+                        t_subs=t_subs)
     return _apply_aa(base, state.aa, fxaa_static, pallas=not interpret)
 
 

@@ -386,8 +386,14 @@ CLASSIC_CAMERA = dict(pos=(55.0, 14.0, -3.0), hor_angle=180.0,
 #   sun/moon proxies (2, statically excluded from occlusion sweeps).
 ISLAND_TRI_CLUSTERS = (10, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8)
 ISLAND_SPH_CLUSTERS = ((24, True), (2, False))
+# refined cull bounds (pallas_rt.tri_sub_partition): sweep clusters keep
+# their shape, but each mountain PAIR carries two per-mountain bounds
+# OR-ed in the cull. Shipped only if the interleaved A/B on the pinned
+# low-sun state wins (docs/PERFORMANCE.md); None = pair bounds.
+ISLAND_TRI_SUBS = None
 TRI_CLUSTERS = {"island": ISLAND_TRI_CLUSTERS, "classic": None}
 SPH_CLUSTERS = {"island": ISLAND_SPH_CLUSTERS, "classic": None}
+TRI_SUBS = {"island": ISLAND_TRI_SUBS, "classic": None}
 
 SCENES = {"island": build_scene, "classic": build_classic_scene}
 
