@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--day", type=float, default=14.0)
     ap.add_argument("--cam", type=int, default=None,
                     help="camera preset (0=island, 1=mountains)")
+    ap.add_argument("--yaw", type=float, default=None,
+                    help="override camera hor_angle (worst-pose probes)")
     ap.add_argument("--reps", type=int, default=7)
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--max-clusters", type=int, default=None)
@@ -98,6 +100,8 @@ def main():
         st = sim.apply_controls(
             st, Action.idle()._replace(cam_preset=np.int32(args.cam)), 0.0)
         st = st._replace(day_time=jnp.float32(args.day))
+    if args.yaw is not None:
+        st = st._replace(cam=st.cam._replace(hor_angle=jnp.float32(args.yaw)))
     st = sim.settle(st)
     scene_f, lights, ambient = jax.jit(sim.derive_frame)(scene, st)
     rays = jax.jit(sim.camera_rays, static_argnums=1)(st.cam, w / h)

@@ -385,12 +385,16 @@ CLASSIC_CAMERA = dict(pos=(55.0, 14.0, -3.0), hor_angle=180.0,
 #   spheres: snowmen + igloo (24, shadow-casting), then the emissive
 #   sun/moon proxies (2, statically excluded from occlusion sweeps).
 ISLAND_TRI_CLUSTERS = (10, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8)
-ISLAND_SPH_CLUSTERS = ((24, True), (2, False))
+# spheres split 8/8/8 over snowman A (11) + snowman B (11) + igloo (2) in
+# build order — zero padding rows (vs the 11/11/2 split that lost to
+# padding in round 2) and finer culls; interleaved A/B at 720p island
+# day 14: 10.70 → 10.64 ms (won 5/7 reps)
+ISLAND_SPH_CLUSTERS = ((8, True), (8, True), (8, True), (2, False))
 # refined cull bounds (pallas_rt.tri_sub_partition): sweep clusters keep
 # their shape, but each mountain PAIR carries two per-mountain bounds
-# OR-ed in the cull. Shipped only if the interleaved A/B on the pinned
-# low-sun state wins (docs/PERFORMANCE.md); None = pair bounds.
-ISLAND_TRI_SUBS = None
+# OR-ed in the cull. Interleaved A/B at 720p: low-sun island (day 17.6)
+# 10.68 → 10.60 ms, midday island 10.79 → 10.66 ms.
+ISLAND_TRI_SUBS = (1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2)
 TRI_CLUSTERS = {"island": ISLAND_TRI_CLUSTERS, "classic": None}
 SPH_CLUSTERS = {"island": ISLAND_SPH_CLUSTERS, "classic": None}
 TRI_SUBS = {"island": ISLAND_TRI_SUBS, "classic": None}
