@@ -201,10 +201,19 @@ SKY_TILE_X = 32
 # on the cached path, 0.02% of sky pixels fall back to the nearest-texel
 # clamp (rmse 7.8e-4 vs 8-pixel groups — far inside the 2e-3 parity gates)
 SKY_GROUP = 16
-# per-pixel window-select strategy: "onehot" (128-wide compare+mask+sum) or
-# "binary" (7 halving wheres). Exact either way; read at trace time, so flip
-# before building an engine to A/B (experiments/ab_sky_select.py)
+# per-pixel window-select strategy: "onehot" (128-wide compare+mask+sum),
+# "twostage" (one-hot over the window's 4 rows, then over its 32 columns —
+# (4+32)/128 of the elementwise work in two fusable stages), or "binary"
+# (7 halving wheres — measured 3x SLOWER: the 7 sequential stages break
+# XLA's fusion). Exact either way; read at trace time, so flip before
+# building an engine to A/B (experiments/ab_sky_select.py)
 SKY_SELECT = "onehot"
+# group-anchor strategy: "median" (exact masked median, O(G^2) rank
+# counting — robust to any outlier mix) or "mean" (seam-unwrapped inlier
+# mean, O(G)). The anchor only decides WHICH window a group fetches:
+# covered pixels return identical texels either way; a worse anchor only
+# shrinks coverage (leftovers retry in passes 2-3, then clamp).
+SKY_ANCHOR = "median"
 
 
 def sky_group_for_width(row_w: int) -> int:
@@ -416,6 +425,27 @@ def _fetch_rows_pair(phases_all, sky_vars):
     return fetch
 
 
+def _masked_mean(g, valid):
+    """Per-row mean of the valid entries, rounded to int32. O(G) — the
+    cheap SKY_ANCHOR; less robust than the median against mixed groups
+    (a bad anchor only costs coverage, never correctness)."""
+    vf = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(vf, axis=1), 1.0)
+    return (jnp.sum(g.astype(jnp.float32) * vf, axis=1) / n
+            + 0.5).astype(jnp.int32)
+
+
+def _masked_mean_circular(g, valid, w):
+    """Seam-aware masked mean of equirect x indices: unwrap every entry
+    around the first valid element before averaging."""
+    big = jnp.int32(1 << 29)
+    pos = jnp.arange(g.shape[1], dtype=jnp.int32)
+    first = jnp.min(jnp.where(valid, pos, big), axis=1)
+    x0 = jnp.sum(jnp.where(pos[None, :] == first[:, None], g, 0), axis=1)
+    d = jnp.mod(g - x0[:, None] + w // 2, w) - w // 2
+    return x0 + _masked_mean(d, valid)
+
+
 def _grouped_pass(fetch, h, w, gy, gx, gv):
     """One grouped-gather pass: anchor on the valid pixels, fetch one
     128-texel window per group (fetch: tid → (NG, 128) f32 packed texels),
@@ -425,9 +455,13 @@ def _grouped_pass(fetch, h, w, gy, gx, gv):
     nty, ntx = h // ty, w // tx
     big = jnp.int32(1 << 29)
 
-    # robust anchors: masked median, then unwrap x across the seam
-    ay = _masked_median(gy, gv)[:, None]
-    ax = _masked_median(gx, gv)[:, None]
+    # robust anchors (then unwrap x across the seam)
+    if SKY_ANCHOR == "mean":
+        ay = _masked_mean(gy, gv)[:, None]
+        ax = _masked_mean_circular(gx, gv, w)[:, None]
+    else:
+        ay = _masked_median(gy, gv)[:, None]
+        ax = _masked_median(gx, gv)[:, None]
     dx = jnp.mod(gx - ax + w // 2, w) - w // 2       # in [-w/2, w/2)
     gxu = ax + dx
     inl = gv & (jnp.abs(gy - ay) <= 2 * ty) & (jnp.abs(dx) <= 2 * tx)
@@ -449,7 +483,21 @@ def _grouped_pass(fetch, h, w, gy, gx, gv):
     ox_raw = gxu - sx[:, None]
     covered = (oy_raw >= 0) & (oy_raw < ty) & (ox_raw >= 0) & (ox_raw < tx)
     off = (jnp.clip(oy_raw, 0, ty - 1) * tx + jnp.clip(ox_raw, 0, tx - 1))
-    if SKY_SELECT == "binary":
+    if SKY_SELECT == "twostage":
+        # split the 128-lane one-hot into row (4) then column (32) stages:
+        # (4+32)/128 of the elementwise work; only two stages, so XLA keeps
+        # each as one fused pass (the 7-stage binary fold did not)
+        o_row = off // tx
+        o_col = off - o_row * tx
+        w4 = winf.reshape(winf.shape[0], ty, tx)
+        rsel = (jax.lax.broadcasted_iota(jnp.int32, off.shape + (ty,), 2)
+                == o_row[:, :, None])
+        rowtex = jnp.sum(jnp.where(rsel[..., None], w4[:, None, :, :], 0.0),
+                         axis=2)                      # (NG, G, tx)
+        csel = (jax.lax.broadcasted_iota(jnp.int32, off.shape + (tx,), 2)
+                == o_col[:, :, None])
+        texel = jnp.sum(jnp.where(csel, rowtex, 0.0), axis=2)
+    elif SKY_SELECT == "binary":
         # per-pixel select of 1-of-128 by folding the window in half once
         # per offset bit: 7 wheres over shrinking slices (~127 elementwise
         # ops/pixel) instead of the 128-wide one-hot compare+mask+sum
