@@ -60,17 +60,17 @@ def main():
               sky_grouped=True)
 
     fns = {}
-    for sel, anc in itertools.product(("onehot", "twostage"),
-                                      ("median", "mean")):
-        T.SKY_SELECT, T.SKY_ANCHOR = sel, anc   # read at TRACE time
-        name = f"{sel}/{anc}"
+    for sel, anc, passes in itertools.product(
+            ("twostage",), ("median",), (3, 2)):
+        T.SKY_SELECT, T.SKY_ANCHOR, T.SKY_PASSES = sel, anc, passes
+        name = f"{sel}/{anc}/p{passes}"
         fn = jax.jit(lambda s: _pallas_base(
             scene_f, lights, ambient, rays, s, sh, sw, day_frac, h, w,
             sky_vars=st.sky_vars, **kw))
         print(f"compiling {name} ...", flush=True)
         device_sync(fn(stack))
         fns[name] = fn
-    T.SKY_SELECT, T.SKY_ANCHOR = "onehot", "median"
+    T.SKY_SELECT, T.SKY_ANCHOR, T.SKY_PASSES = "twostage", "median", 3
 
     def block(fn, n):
         t0 = time.perf_counter()

@@ -201,19 +201,31 @@ SKY_TILE_X = 32
 # on the cached path, 0.02% of sky pixels fall back to the nearest-texel
 # clamp (rmse 7.8e-4 vs 8-pixel groups — far inside the 2e-3 parity gates)
 SKY_GROUP = 16
-# per-pixel window-select strategy: "onehot" (128-wide compare+mask+sum),
-# "twostage" (one-hot over the window's 4 rows, then over its 32 columns —
-# (4+32)/128 of the elementwise work in two fusable stages), or "binary"
-# (7 halving wheres — measured 3x SLOWER: the 7 sequential stages break
-# XLA's fusion). Exact either way; read at trace time, so flip before
-# building an engine to A/B (experiments/ab_sky_select.py)
-SKY_SELECT = "onehot"
+# per-pixel window-select strategy: "twostage" (default: one-hot over the
+# window's 4 rows, then over its 32 columns — (4+32)/128 of the
+# elementwise work in two fusable stages; bit-identical to onehot, won the
+# interleaved A/B 17.30 vs 17.55 ms in-situ), "onehot" (128-wide
+# compare+mask+sum), or "binary" (7 halving wheres — measured 3x SLOWER:
+# the 7 sequential stages break XLA's fusion). Exact either way; read at
+# trace time, so flip before building an engine to A/B.
+SKY_SELECT = "twostage"
 # group-anchor strategy: "median" (exact masked median, O(G^2) rank
 # counting — robust to any outlier mix) or "mean" (seam-unwrapped inlier
 # mean, O(G)). The anchor only decides WHICH window a group fetches:
 # covered pixels return identical texels either way; a worse anchor only
-# shrinks coverage (leftovers retry in passes 2-3, then clamp).
+# shrinks coverage (leftovers retry in later passes, then clamp). The
+# O(G) mean measured ~2 ms SLOWER in-situ despite fewer ops (its
+# first-valid select + float division lower worse than the median's one
+# fused rank pass) — median stays.
 SKY_ANCHOR = "median"
+# grouped-resolve passes: pass k re-anchors on what passes <k missed, so
+# k texel clusters per group resolve exactly; leftovers clamp to the
+# nearest fetched texel. Default 2: pass 2 matters at silhouettes
+# (99.41 → 99.86-100% coverage) but a third pass covered exactly ZERO
+# additional pixels on every probed real frame (incl. the worst pose)
+# while costing 2.05 ms/frame at 720p (interleaved A/B 17.48 vs 15.43 ms,
+# 2026-08-17). Raise to 3 for pathological ≥3-cluster content.
+SKY_PASSES = 2
 
 
 def sky_group_for_width(row_w: int) -> int:
@@ -576,11 +588,23 @@ def _sample_grouped(fetch, h, w, d, day_frac, valid=None,
     gx = ix.reshape(-1, group)
     gv = v.reshape(-1, group)
 
-    t1, c1 = _grouped_pass(fetch, h, w, gy, gx, gv)
-    t2, c2 = _grouped_pass(fetch, h, w, gy, gx, gv & ~c1)
-    t3, c3 = _grouped_pass(fetch, h, w, gy, gx, gv & ~c1 & ~c2)
-    texel = jnp.where(c1, t1, jnp.where(c2, t2, t3)).astype(jnp.int32).reshape(-1)
-    covered = c1 | c2 | c3
+    # the 2-pass default is validated on real (group-16) framebuffers;
+    # tiny frames fall back to 8-pixel groups with far wilder per-pixel
+    # divergence — keep the third pass there (its cost at those sizes is
+    # trivial, and golden tests pin the tiny-frame quality)
+    passes = SKY_PASSES if group >= 16 else max(SKY_PASSES, 3)
+    texel = None
+    covered = None
+    leftover = gv
+    for _ in range(passes):
+        tk, ck = _grouped_pass(fetch, h, w, gy, gx, leftover)
+        if texel is None:
+            texel, covered = tk, ck
+        else:
+            texel = jnp.where(covered, texel, tk)
+            covered = covered | ck
+        leftover = leftover & ~covered
+    texel = texel.astype(jnp.int32).reshape(-1)
     if pad:
         texel = texel[:n]
     rgb = jnp.stack([texel & 0xFF, (texel >> 8) & 0xFF, (texel >> 16) & 0xFF],
