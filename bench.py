@@ -249,6 +249,10 @@ def tune(args):
     for fn in fns.values():
         block(fn, 2)                  # warm
 
+    if not fns:
+        raise SystemExit("tune: no candidate compiled and ran — check the "
+                         "backend (Mosaic kernels need a TPU; see the "
+                         "per-candidate errors above)")
     times = {n: [] for n in fns}
     for r in range(args.tune_reps):
         for name, fn in fns.items():  # round-robin: drift hits all equally

@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Isolate the per-frame sky re-blend cost inside a day/night crossfade.
+"""Isolate the per-frame cost of CHANGING sky weights inside a crossfade.
 
 The reference blends the four panoramas per ray every frame
-(kernel.cu:156-163) — its cost is flat across the 24 h clock. The TPU
-build's cached pre-blend is faster in the pure bands but re-runs
-blend+pack over the FULL panorama every frame inside the 2 h crossfades.
-This harness measures that cost directly: interleaved A/B of the SAME
-state window with the clock playing (sky_vars change every frame →
-re-blend) vs frozen (blend once, cache hits) — content is identical up to
-±0.08 h of light drift inside a 10-frame block, so the delta is the
-re-blend+pack.
+(kernel.cu:156-163) — its cost is flat across the 24 h clock. This
+harness measures what the engine pays when sky_vars drift frame-to-frame:
+interleaved A/B of the SAME state window with the clock playing vs frozen
+— content is identical up to ±0.08 h of light drift inside a 10-frame
+block, so the delta is the weight-change cost. Against the round-2
+cached pre-blend it measured the +15.7 ms full-panorama re-pack that
+motivated the static sky stack; against the shipped stack both arms run
+the same two-gather fade resolve and the delta is ~0 (+0.29 ms measured
+— docs/PERFORMANCE.md).
 
 Run on the TPU:
   python experiments/ab_crossfade.py [--sky reference] [--day 9.0]
@@ -75,8 +76,8 @@ def main():
             a.append(block(day, True, args.n) * 1e3)
             b.append(block(day, False, args.n) * 1e3)
         ma, mb = statistics.median(a), statistics.median(b)
-        print(f"day={day:5.1f}  play(re-blend)={ma:7.2f} ms  "
-              f"frozen(cached)={mb:7.2f} ms  delta={ma - mb:+7.2f} ms  "
+        print(f"day={day:5.1f}  play(weights drift)={ma:7.2f} ms  "
+              f"frozen={mb:7.2f} ms  delta={ma - mb:+7.2f} ms  "
               f"[a={['%.1f' % v for v in a]} b={['%.1f' % v for v in b]}]",
               flush=True)
 

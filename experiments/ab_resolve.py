@@ -49,9 +49,9 @@ def main():
     sh, sw = texels.shape[1], texels.shape[2]
     stack = jax.jit(T.sky_static_init)(texels)
 
-    st = sim.init_state()._replace(day_time=jnp.float32(args.day))
-    st = st._replace(cam=st.cam._replace(hor_angle=jnp.float32(args.yaw)))
-    st = sim.settle(st)
+    from bench import preset_state   # ONE pose builder for every harness
+
+    st = preset_state(day=args.day, yaw=args.yaw)
     scene_f, lights, ambient = jax.jit(sim.derive_frame)(scene, st)
     rays = jax.jit(sim.camera_rays, static_argnums=1)(st.cam, w / h)
     day_frac = float(st.day_time) / 24.0
@@ -70,7 +70,10 @@ def main():
         print(f"compiling {name} ...", flush=True)
         device_sync(fn(stack))
         fns[name] = fn
-    T.SKY_SELECT, T.SKY_ANCHOR, T.SKY_PASSES = "twostage", "median", 3
+    # restore the SHIPPED module defaults (not a hard-coded combo: anything
+    # traced after this sweep must match what engines actually run)
+    import importlib
+    importlib.reload(T)
 
     def block(fn, n):
         t0 = time.perf_counter()

@@ -71,6 +71,14 @@ class Engine:
                     ver_angle=jnp.float32(cc["ver_angle"]),
                     fov=jnp.float32(cc["fov"])))
         self.mesh = make_mesh() if sharded else None
+        if (self.mesh is not None and self.config.height
+                % (max(self.mesh.size, 1) * self.config.shard_interleave)):
+            # fail fast: render_frame_sharded would raise the same error,
+            # but only on the first frame — after a minutes-long compile
+            raise ValueError(
+                f"height {self.config.height} not divisible by mesh size "
+                f"{self.mesh.size} x shard_interleave "
+                f"{self.config.shard_interleave}")
         self.path = self.config.resolved_path()
         self.tri_clusters = TRI_CLUSTERS.get(self.config.scene)
         self.sph_clusters = SPH_CLUSTERS.get(self.config.scene)

@@ -136,7 +136,9 @@ def tri_sub_partition(tri_clusters, t_subs):
     """
     if not t_subs:
         return tuple(tri_clusters)
-    assert len(t_subs) == len(tri_clusters), (t_subs, tri_clusters)
+    if len(t_subs) != len(tri_clusters):
+        raise ValueError(f"t_subs {t_subs} must have one entry per tri "
+                         f"cluster {tri_clusters}")
     out = []
     for cnt, m in zip(tri_clusters, t_subs):
         if cnt % m:
@@ -975,6 +977,11 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     sweeps per TW/lane_split-lane band; bit-identical but measured −23%
     at 720p on the tunnel (relayout + cond overhead), kept at 1; re-test
     on dedicated silicon (docs/PERFORMANCE.md)."""
+    if t_subs and not tri_clusters:
+        # silently accepting this would misalign the sphere-cluster bound
+        # slots (_make_kernel counts sum(t_subs) tri bounds, but the packed
+        # bounds would hold only the single whole-class tri bound)
+        raise ValueError("t_subs requires tri_clusters")
     coef = pack_scene(scene, tri_clusters, sph_clusters)
     params = pack_params(cam_rays, lights, ambient, scene.plane_pos[1],
                          row0=row0)

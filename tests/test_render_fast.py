@@ -254,6 +254,26 @@ def test_pallas_t_bound_identical(scene, sky):
             assert np.array_equal(np.asarray(pa), np.asarray(pd))
 
 
+def test_t_subs_requires_tri_clusters(scene):
+    """t_subs without tri_clusters (or with the wrong arity) would misalign
+    the sphere-cluster bound slots in the params vector — must raise, not
+    silently unsound-cull."""
+    from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+    from raytracing_cuda_tpu.scene.builders import ISLAND_TRI_CLUSTERS
+
+    st = sim.settle(sim.init_state())
+    scene_f, lights, ambient = sim.derive_frame(scene, st)
+    rays = sim.camera_rays(st.cam, W / H)
+    with pytest.raises(ValueError, match="t_subs"):
+        render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                  interpret=True, t_subs=(2,))
+    with pytest.raises(ValueError, match="t_subs"):
+        render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                  interpret=True,
+                                  tri_clusters=ISLAND_TRI_CLUSTERS,
+                                  t_subs=(2, 2))
+
+
 def test_batch_render_matches_sequential(scene, sky):
     """render_frames_batch (one kernel launch for K frames) must match the
     sequential per-frame renders."""
