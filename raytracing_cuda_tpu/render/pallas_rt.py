@@ -33,7 +33,11 @@ inside flattened SIBLING lax.conds — Mosaic cannot legalize nested scf.if):
     the final combine + quantize.
 
 Outputs 7 (H, W) f32 planes: hit-path RGB, miss weight, miss direction xyz.
-Tile size (16, 256) won a sweep over {8..48}x{128..512} on v5e.
+Tile size (32, 128) won the round-3 `bench.py --tune` sweep (10.47 vs
+10.99 ms for round 2's (16, 256) at 720p; re-confirmed at the worst pose
+and mountains view — the optimum moved after the while-loop exit +
+zero-pad clusters + t-bound + sub-bound changes). Re-run `--tune` on new
+silicon or after kernel-structure changes.
 """
 
 from __future__ import annotations
@@ -897,7 +901,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
     "total_h", "total_w", "t_bound", "lane_split", "t_subs"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pads: tuple, s_occl: tuple,
-                          TH: int = 16, TW: int = 256,
+                          TH: int = 32, TW: int = 128,
                           interpret: bool = False,
                           total_h: int | None = None,
                           total_w: int | None = None,
@@ -940,7 +944,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
 
 def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
                     s_pads: tuple, s_occl: tuple,
-                    TH: int = 16, TW: int = 256, interpret: bool = False,
+                    TH: int = 32, TW: int = 128, interpret: bool = False,
                     total_h: int | None = None,
                     total_w: int | None = None, t_bound: bool = True,
                     lane_split: int = 1, t_subs: tuple | None = None):
@@ -953,8 +957,8 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
 
 
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
-                              height: int, width: int, tile_h: int = 16,
-                              tile_w: int = 256, interpret: bool = False,
+                              height: int, width: int, tile_h: int = 32,
+                              tile_w: int = 128, interpret: bool = False,
                               tri_clusters: tuple | None = None,
                               sph_clusters: tuple | None = None,
                               row0=0, total_height: int | None = None,
