@@ -241,8 +241,11 @@ def test_pallas_t_bound_identical(scene, sky):
                                       t_bound=True, **kw)
         b = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
                                       t_bound=False, **kw)
+        # lane_split needs 128-lane-aligned bands — run it on a 256-lane
+        # tile (the default tile is (32, 128) since the round-3 autotune)
         c = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
-                                      t_bound=True, lane_split=2, **kw)
+                                      t_bound=True, lane_split=2,
+                                      tile_w=256, **kw)
         # refined cull bounds (mountain pairs → per-mountain sub-bounds,
         # OR-ed in the cull) are a pure skip optimization too
         d = render_base_planes_pallas(
