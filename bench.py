@@ -208,7 +208,7 @@ def tune(args):
     tws = [int(v) for v in args.tune_tw.split(",")]
 
     scene = jax.device_put(build_scene())
-    st = sim.settle(sim.init_state()._replace(day_time=jnp.float32(14.0)))
+    st = preset_state(day=args.tune_day, yaw=args.tune_yaw)
     scene_f, lights, ambient = jax.jit(sim.derive_frame)(scene, st)
     rays = jax.jit(sim.camera_rays, static_argnums=1)(st.cam, w / h)
 
@@ -280,7 +280,7 @@ def tune(args):
            "t_bound": t_bound, "lane_split": split,
            "median_ms": round(med[ranked[0]], 3),
            "all_medians_ms": {n: round(v, 3) for n, v in med.items()},
-           "size": f"{w}x{h}"}
+           "size": f"{w}x{h}", "day": args.tune_day, "yaw": args.tune_yaw}
     with open("autotune.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
@@ -306,6 +306,10 @@ def main():
     ap.add_argument("--tune-tw", default="128,256,512")
     ap.add_argument("--tune-reps", type=int, default=5)
     ap.add_argument("--tune-n", type=int, default=10)
+    ap.add_argument("--tune-day", type=float, default=14.0)
+    ap.add_argument("--tune-yaw", type=float, default=None,
+                    help="tune on a specific pose (e.g. the worst-state "
+                         "probe's day 17.6 / yaw 315)")
     args = ap.parse_args()
 
     if args.tune:

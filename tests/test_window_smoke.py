@@ -80,6 +80,21 @@ def test_engine_preview_downsample_shape():
     assert small.mean() > 0
 
 
+def test_box_downsample_matches_numpy():
+    import jax.numpy as jnp
+
+    from raytracing_cuda_tpu.app.loop import _box_downsample
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+    got = np.asarray(_box_downsample(jnp.asarray(img), 4))
+    want = (img.astype(np.float32).reshape(2, 4, 3, 4, 3).mean((1, 3))
+            + 0.5).astype(np.uint8)
+    assert np.array_equal(got, want)
+    assert np.array_equal(np.asarray(_box_downsample(jnp.asarray(img), 1)),
+                          img)   # n=1 is a passthrough
+
+
 def test_preview_must_divide_framebuffer():
     import dataclasses
 
