@@ -1,13 +1,14 @@
 """Interleaved A/B of the grouped-sky window-select strategy on the TPU.
 
 The grouped resolve fetches one 128-texel window per pixel group and then
-selects each pixel's texel from it. "onehot" does a 128-wide
-compare+mask+sum per pixel; "binary" folds the window in half once per
-offset bit (7 wheres). Both are exact; this measures which lowers faster.
-Times eng.frame() (render-only, cached grouped sky) under two compiled
-programs built with the flag flipped at trace time.
+selects each pixel's texel from it. "twostage" (shipped default since
+round 3: one-hot over 4 rows then 32 columns) vs "onehot" (128-wide
+compare+mask+sum) vs "binary" (7 halving wheres — measured 3x slower in
+round 2: the serial stages break fusion). All exact; this measures which
+lowers faster. Times eng.frame() (render-only, static grouped sky) under
+compiled programs built with the flag flipped at trace time.
 
-  python experiments/ab_sky_select.py
+  python experiments/ab_sky_select.py [--b binary|onehot|twostage]
 """
 
 from __future__ import annotations
@@ -31,6 +32,10 @@ from raytracing_cuda_tpu.utils.timing import device_sync
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1280x720")
+    ap.add_argument("--a", default="twostage",
+                    choices=["twostage", "onehot", "binary"])
+    ap.add_argument("--b", default="onehot",
+                    choices=["twostage", "onehot", "binary"])
     ap.add_argument("--reps", type=int, default=11)
     ap.add_argument("--n", type=int, default=14)
     args = ap.parse_args()
@@ -43,12 +48,13 @@ def main():
         return Engine(RenderConfig(width=w, height=h,
                                    procedural_sky_shape=(2048, 4096)))
 
-    print("compiling A (onehot)...", flush=True)
-    ea = build("onehot")
+    print(f"compiling A ({args.a})...", flush=True)
+    ea = build(args.a)
     ia = np.asarray(ea.frame())
-    print("compiling B (binary)...", flush=True)
-    eb = build("binary")
+    print(f"compiling B ({args.b})...", flush=True)
+    eb = build(args.b)
     ib = np.asarray(eb.frame())
+    textures.SKY_SELECT = "twostage"   # restore the shipped default
     assert np.array_equal(ia, ib), "select strategies must be exact-equal"
 
     def block(eng, n):
@@ -66,8 +72,8 @@ def main():
         A.append(block(ea, args.n))
         B.append(block(eb, args.n))
         print(f"rep {r}: A {A[-1]:.2f} ms   B {B[-1]:.2f} ms", flush=True)
-    print(f"median A(onehot) {statistics.median(A):.2f} ms   "
-          f"B(binary) {statistics.median(B):.2f} ms")
+    print(f"median A({args.a}) {statistics.median(A):.2f} ms   "
+          f"B({args.b}) {statistics.median(B):.2f} ms")
 
 
 if __name__ == "__main__":
