@@ -33,11 +33,13 @@ inside flattened SIBLING lax.conds — Mosaic cannot legalize nested scf.if):
     the final combine + quantize.
 
 Outputs 7 (H, W) f32 planes: hit-path RGB, miss weight, miss direction xyz.
-Tile size (32, 128) won the round-3 `bench.py --tune` sweep (10.47 vs
-10.99 ms for round 2's (16, 256) at 720p; re-confirmed at the worst pose
-and mountains view — the optimum moved after the while-loop exit +
-zero-pad clusters + t-bound + sub-bound changes). Re-run `--tune` on new
-silicon or after kernel-structure changes.
+Tile size (48, 128) won the round-3 `bench.py --tune` sweeps: the first
+sweep's winner (32, 128) beat round 2's (16, 256) 10.47 vs 10.99 ms at
+720p, then extending the TH axis found (48, 128) at 9.63 ms — confirmed
+interleaved vs (32, 128) at day 14 (10.16 vs 9.47) and the worst pose
+(10.08 vs 9.37); (64, 128) regresses (12.4). The optimum moved after the
+while-loop exit + zero-pad clusters + t-bound + sub-bound changes.
+Re-run `--tune` on new silicon or after kernel-structure changes.
 """
 
 from __future__ import annotations
@@ -901,7 +903,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
     "total_h", "total_w", "t_bound", "lane_split", "t_subs"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pads: tuple, s_occl: tuple,
-                          TH: int = 32, TW: int = 128,
+                          TH: int = 48, TW: int = 128,
                           interpret: bool = False,
                           total_h: int | None = None,
                           total_w: int | None = None,
@@ -944,7 +946,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
 
 def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
                     s_pads: tuple, s_occl: tuple,
-                    TH: int = 32, TW: int = 128, interpret: bool = False,
+                    TH: int = 48, TW: int = 128, interpret: bool = False,
                     total_h: int | None = None,
                     total_w: int | None = None, t_bound: bool = True,
                     lane_split: int = 1, t_subs: tuple | None = None):
@@ -957,7 +959,7 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
 
 
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
-                              height: int, width: int, tile_h: int = 32,
+                              height: int, width: int, tile_h: int = 48,
                               tile_w: int = 128, interpret: bool = False,
                               tri_clusters: tuple | None = None,
                               sph_clusters: tuple | None = None,

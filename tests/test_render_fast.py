@@ -242,7 +242,7 @@ def test_pallas_t_bound_identical(scene, sky):
         b = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
                                       t_bound=False, **kw)
         # lane_split needs 128-lane-aligned bands — run it on a 256-lane
-        # tile (the default tile is (32, 128) since the round-3 autotune)
+        # tile (the default tile is (48, 128) since the round-3 autotune)
         c = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
                                       t_bound=True, lane_split=2,
                                       tile_w=256, **kw)
