@@ -357,3 +357,27 @@ def test_engine_static_frame_wiring(scene, sky):
                                    H, W, chunk=4096, path="oracle"), np.float32)
     diff = np.abs(img3 - ref3)
     assert np.sqrt(np.mean((diff / 255.0) ** 2)) < 2e-3
+
+
+def test_kernel_defaults_match_autotune():
+    """The shipped kernel launch defaults must track autotune.json (the
+    committed `bench.py --tune` winner) — the two drifting apart means a
+    retune happened without flipping the defaults, or vice versa."""
+    import inspect
+    import json
+    import pathlib
+
+    from raytracing_cuda_tpu.render.pallas_rt import (
+        raytrace_planes, raytrace_planes_batch, render_base_planes_pallas)
+
+    tuned = json.loads((pathlib.Path(__file__).parent.parent
+                        / "autotune.json").read_text())
+    for fn, th_name, tw_name in ((raytrace_planes, "TH", "TW"),
+                                 (raytrace_planes_batch, "TH", "TW"),
+                                 (render_base_planes_pallas,
+                                  "tile_h", "tile_w")):
+        p = inspect.signature(fn).parameters
+        assert p[th_name].default == tuned["tile_h"], fn.__name__
+        assert p[tw_name].default == tuned["tile_w"], fn.__name__
+        assert p["t_bound"].default == tuned["t_bound"], fn.__name__
+        assert p["lane_split"].default == tuned["lane_split"], fn.__name__
