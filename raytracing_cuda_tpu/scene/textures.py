@@ -210,13 +210,18 @@ SKY_GROUP = 16
 # trace time, so flip before building an engine to A/B.
 SKY_SELECT = "twostage"
 # group-anchor strategy: "median" (exact masked median, O(G^2) rank
-# counting — robust to any outlier mix) or "mean" (seam-unwrapped inlier
-# mean, O(G)). The anchor only decides WHICH window a group fetches:
-# covered pixels return identical texels either way; a worse anchor only
-# shrinks coverage (leftovers retry in later passes, then clamp). The
-# O(G) mean measured ~2 ms SLOWER in-situ despite fewer ops (its
-# first-valid select + float division lower worse than the median's one
-# fused rank pass) — median stays.
+# counting — robust to any outlier mix), "mean" (seam-unwrapped inlier
+# mean, O(G)), or "minpix" (the min-y valid PIXEL's coordinates, one
+# joint O(G) reduce — both anchors come from the same pixel, so they are
+# always mutually consistent). The anchor only decides WHICH window a
+# group fetches: covered pixels return identical texels either way; a
+# worse anchor only shrinks coverage (leftovers retry in later passes,
+# then clamp). BOTH cheap anchors measured SLOWER in-situ despite far
+# fewer ops — mean ~+2 ms, minpix +0.84 ms (interleaved A/B at the worst
+# pose, 13.62 vs 14.46 ms, 2026-08-17) — the median's rank pass lowers as
+# one fused sweep while the reduce-then-select shapes do not; the anchor
+# is effectively FREE, so the resolve's remaining cost is gathers +
+# selects, not anchoring. Median stays.
 SKY_ANCHOR = "median"
 # grouped-resolve passes: pass k re-anchors on what passes <k missed, so
 # k texel clusters per group resolve exactly; leftovers clamp to the
@@ -471,6 +476,23 @@ def _grouped_pass(fetch, h, w, gy, gx, gv):
     if SKY_ANCHOR == "mean":
         ay = _masked_mean(gy, gv)[:, None]
         ax = _masked_mean_circular(gx, gv, w)[:, None]
+    elif SKY_ANCHOR == "minpix":
+        # anchor on ONE pixel — the valid pixel with the smallest (iy, pos)
+        # key — so ay/ax are trivially consistent (the median computes them
+        # independently, which is why it needs the O(G^2) rank pass twice).
+        # A divergent outlier can steal the anchor from the majority
+        # cluster, but then the majority just resolves in the next pass:
+        # per-pass coverage ORDER changes, the k-pass UNION does not
+        # (each pass still resolves whole texel clusters).
+        G = gy.shape[1]
+        pos = jnp.arange(G, dtype=jnp.int32)
+        key = jnp.where(gv, gy * G + pos[None, :], big)
+        kmin = jnp.min(key, axis=1)                       # (NG,)
+        any_v = kmin < big
+        ay = jnp.where(any_v, kmin // G, 0)[:, None]
+        pos0 = jnp.where(any_v, kmin - ay[:, 0] * G, 0)
+        ax = jnp.sum(jnp.where(pos[None, :] == pos0[:, None], gx, 0),
+                     axis=1)[:, None]
     else:
         ay = _masked_median(gy, gv)[:, None]
         ax = _masked_median(gx, gv)[:, None]

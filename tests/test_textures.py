@@ -156,6 +156,38 @@ def test_grouped_resolve_invalid_pixels_cannot_poison_groups():
     assert np.array_equal(np.asarray(got)[m], ref[m])
 
 
+def test_grouped_resolve_knobs_exact_on_covered():
+    """Every SKY_SELECT x SKY_ANCHOR knob combo (the A/B space of
+    experiments/ab_resolve.py) must stay exact on covered pixels and keep
+    coverage high on an outlier-bearing field — the knobs may only trade
+    COVERAGE, never correctness."""
+    import itertools
+
+    from raytracing_cuda_tpu.scene import textures as T
+
+    rng = np.random.default_rng(13)
+    H, W = 64, 128
+    blended = jnp.asarray(rng.integers(0, 256, (H, W, 3)).astype(np.uint8))
+    packed = pack_sky(blended)
+    phases = T.pack_sky_phases(blended)
+    d = _smooth_dirs(32, 64, outlier_frac=0.03)
+    valid = jnp.asarray(rng.random((32, 64)) > 0.3)
+    ref = np.asarray(sample_sky_packed(packed, H, W, d, 0.29))
+    old = (T.SKY_SELECT, T.SKY_ANCHOR)
+    try:
+        for sel, anc in itertools.product(("onehot", "twostage", "binary"),
+                                          ("median", "mean", "minpix")):
+            T.SKY_SELECT, T.SKY_ANCHOR = sel, anc
+            got, cov = T.sample_sky_grouped(phases, H, W, d, 0.29,
+                                            valid=valid, with_coverage=True)
+            m = np.asarray(cov) & np.asarray(valid)
+            frac = m.sum() / np.asarray(valid).sum()
+            assert frac > 0.9, f"{sel}/{anc}: coverage {frac}"
+            assert np.array_equal(np.asarray(got)[m], ref[m]), f"{sel}/{anc}"
+    finally:
+        T.SKY_SELECT, T.SKY_ANCHOR = old
+
+
 def test_sky_static_init_shapes():
     from raytracing_cuda_tpu.scene.textures import (SKY_TILE_X, SKY_TILE_Y,
                                                     sky_static_init)
