@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Interleaved A/B of grouped-resolve knob combos (SKY_SELECT x SKY_ANCHOR).
+"""Interleaved A/B of grouped-resolve knob combos
+(SKY_SELECT x SKY_ANCHOR x SKY_PASSES x SKY_LAYOUT).
 
-The resolve is ~4.3 ms pure-band / ~6 ms in-fade at 720p (decomposition,
+The resolve is ~2.7 ms pure-band / ~3.8 ms in-fade at 720p in the flat
+layout, ~2.0 / ~3.0 in the gt layout (decomposition + ledger,
 docs/PERFORMANCE.md) — the #2 frame cost after the megakernel. All knob
 combos are exact on covered pixels (twostage select is bit-identical to
-onehot; the anchor only affects coverage). Times kernel+sky (the FXAA tail
-is constant) round-robin per rep.
+onehot; gt is bit-identical wholesale; the anchor only affects coverage).
+Times kernel+sky (the FXAA tail is constant) round-robin per rep.
 
   python experiments/ab_resolve.py [--day 17.6 --yaw 315]
 """
@@ -40,6 +42,14 @@ def main():
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--selects", default="twostage",
+                    help="comma list of SKY_SELECT values to sweep")
+    ap.add_argument("--anchors", default="median",
+                    help="comma list of SKY_ANCHOR values to sweep")
+    ap.add_argument("--passes", default="3,2",
+                    help="comma list of SKY_PASSES values to sweep")
+    ap.add_argument("--layouts", default="",
+                    help="comma list of SKY_LAYOUT values (flat,auto)")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -60,10 +70,13 @@ def main():
               sky_grouped=True)
 
     fns = {}
-    for sel, anc, passes in itertools.product(
-            ("twostage",), ("median",), (3, 2)):
+    layouts = args.layouts.split(",") if args.layouts else [T.SKY_LAYOUT]
+    for sel, anc, passes, lay in itertools.product(
+            args.selects.split(","), args.anchors.split(","),
+            [int(p) for p in args.passes.split(",")], layouts):
         T.SKY_SELECT, T.SKY_ANCHOR, T.SKY_PASSES = sel, anc, passes
-        name = f"{sel}/{anc}/p{passes}"
+        T.SKY_LAYOUT = lay
+        name = f"{sel}/{anc}/p{passes}/{lay}"
         fn = jax.jit(lambda s: _pallas_base(
             scene_f, lights, ambient, rays, s, sh, sw, day_frac, h, w,
             sky_vars=st.sky_vars, **kw))

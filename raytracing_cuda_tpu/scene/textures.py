@@ -223,6 +223,21 @@ SKY_SELECT = "twostage"
 # is effectively FREE, so the resolve's remaining cost is gathers +
 # selects, not anchoring. Median stays.
 SKY_ANCHOR = "median"
+# group-tensor layout. The resolve's cost is NOT its compute: the 2026-08-17
+# ablation decomposition (experiments/resolve_decompose.py) removed the
+# gathers, the select, the anchors, the index math and even a whole pass
+# with ~0 ms effect each, while a plumbing-only arm (no compute at all)
+# still cost the full 2.78 ms — the entire cost is the (NG, G) dataflow:
+# with G = 16 on the minor (lane) axis, every materialized intermediate
+# uses 16 of 128 lanes and pads 8x in memory. "gt" carries every per-group
+# tensor TRANSPOSED as (G, NG) — G on sublanes, NG (a large multiple of
+# 128 at real framebuffer sizes) on lanes — with one well-laid transpose
+# in and one out, and is bit-identical by construction (same anchors, same
+# windows, same one-hot texel selection, one-hot sums have exactly one
+# nonzero term so order cannot matter). "auto" uses gt whenever eligible
+# (2-D field, group 16, median anchor); "flat" forces the (NG, G) layout
+# (the reference implementation and the fallback for every other shape).
+SKY_LAYOUT = "auto"
 # grouped-resolve passes: pass k re-anchors on what passes <k missed, so
 # k texel clusters per group resolve exactly; leftovers clamp to the
 # nearest fetched texel. Default 2: pass 2 matters at silhouettes
@@ -550,6 +565,98 @@ def _grouped_pass(fetch, h, w, gy, gx, gv):
     return texel, covered
 
 
+def _masked_median_gt(g, valid):
+    """(G, NG)-layout _masked_median: per-COLUMN median of the valid entries
+    of g. Same rank-counting arithmetic (candidate j on axis 0, comparator k
+    on axis 1, ties broken by position) → (NG,) int32."""
+    big = jnp.int32(1 << 29)
+    gv = jnp.where(valid, g, big)
+    a = gv[:, None, :]          # candidate j
+    b = gv[None, :, :]          # comparator k
+    pos = jnp.arange(g.shape[0], dtype=jnp.int32)
+    tie = (b == a) & (pos[None, :, None] < pos[:, None, None])
+    rank = jnp.sum(((b < a) | tie).astype(jnp.int32), axis=1)   # (G, NG)
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=0)
+    target = jnp.maximum(nvalid - 1, 0) // 2
+    hit = (rank == target[None, :]) & valid
+    return jnp.sum(jnp.where(hit, gv, 0), axis=0)
+
+
+def _grouped_pass_gt(fetch, h, w, gy, gx, gv):
+    """_grouped_pass in the (G, NG) layout (SKY_LAYOUT docs above).
+
+    Identical anchor/window/coverage arithmetic; the per-pixel texel select
+    is the plain 128-wide one-hot masked sum (exactly one nonzero term, so
+    it is bit-identical to the flat path's staged selects). Returns
+    (texel f32, covered bool), both (G, NG)."""
+    ty, tx = SKY_TILE_Y, SKY_TILE_X
+    hy, hx = ty // 2, tx // 2
+    nty, ntx = h // ty, w // tx
+    big = jnp.int32(1 << 29)
+
+    ay = _masked_median_gt(gy, gv)[None, :]
+    ax = _masked_median_gt(gx, gv)[None, :]
+    dx = jnp.mod(gx - ax + w // 2, w) - w // 2
+    gxu = ax + dx
+    inl = gv & (jnp.abs(gy - ay) <= 2 * ty) & (jnp.abs(dx) <= 2 * tx)
+    min_iy = jnp.clip(jnp.min(jnp.where(inl, gy, big), axis=0), 0, h - 1)
+    min_ix = jnp.min(jnp.where(inl, gxu, big), axis=0)
+
+    sy = hy * (min_iy // hy)
+    sx = hx * (min_ix // hx)
+    py = (sy // hy) % 2
+    px = (sx // hx) % 2
+    r = jnp.clip(sy // ty, 0, nty - 1)
+    k = jnp.mod((sx - px * hx) // tx, ntx)
+    tid = (py * 2 + px) * (nty * ntx) + r * ntx + k          # (NG,)
+
+    winf = fetch(tid)                                        # (NG, 128) f32
+
+    oy_raw = gy - sy[None, :]
+    ox_raw = gxu - sx[None, :]
+    covered = (oy_raw >= 0) & (oy_raw < ty) & (ox_raw >= 0) & (ox_raw < tx)
+    off = (jnp.clip(oy_raw, 0, ty - 1) * tx + jnp.clip(ox_raw, 0, tx - 1))
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (ty * tx,) + off.shape, 0)
+           == off[None, :, :])
+    texel = jnp.sum(jnp.where(sel, winf.T[:, None, :], 0.0), axis=0)
+    return texel, covered
+
+
+def _sample_grouped_gt(fetch, h, w, iy, ix, v, group, with_coverage):
+    """(G, NG)-layout driver: transpose in, run the passes, transpose out.
+
+    Both transposes move between well-laid shapes (the (h, w) pixel field
+    and the full-lane (G, NG) group field); no (NG, G) tensor ever exists.
+    """
+    hh, ww = iy.shape
+    nb = ww // group
+
+    def to_gt(a):
+        return a.reshape(hh, nb, group).transpose(2, 0, 1).reshape(group, -1)
+
+    def from_gt(a):
+        return a.reshape(group, hh, nb).transpose(1, 2, 0).reshape(hh, ww)
+
+    gy, gx, gv = to_gt(iy), to_gt(ix), to_gt(v)
+    texel = covered = None
+    leftover = gv
+    for _ in range(SKY_PASSES):          # group >= 16 here (see use_gt)
+        tk, ck = _grouped_pass_gt(fetch, h, w, gy, gx, leftover)
+        if texel is None:
+            texel, covered = tk, ck
+        else:
+            texel = jnp.where(covered, texel, tk)
+            covered = covered | ck
+        leftover = leftover & ~covered
+    t2 = from_gt(texel.astype(jnp.int32))
+    rgb = jnp.stack([t2 & 0xFF, (t2 >> 8) & 0xFF, (t2 >> 16) & 0xFF],
+                    axis=-1)
+    out = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    if with_coverage:
+        return out, from_gt(covered)
+    return out
+
+
 def sample_sky_grouped(phases, h, w, d, day_frac, valid=None,
                        with_coverage=False):
     """Grouped equirect sky lookup → (..., 3) f32 in [0, 1].
@@ -593,6 +700,15 @@ def _sample_grouped(fetch, h, w, d, day_frac, valid=None,
     # framebuffer widths (measured 99.98% coverage at 1280) but degrades on
     # tiny frames where per-pixel ray divergence is extreme — those keep 8
     group = sky_group_for_width(shape[-1]) if shape else 8
+    if (SKY_LAYOUT != "flat" and len(shape) == 2 and group >= 16
+            and shape[-1] % group == 0 and SKY_ANCHOR == "median"):
+        # real framebuffers take the full-lane transposed layout (bit-
+        # identical; see SKY_LAYOUT); every other shape/knob falls through
+        # to the (NG, G) reference dataflow below
+        v = (jnp.ones(shape, jnp.bool_) if valid is None
+             else jnp.broadcast_to(valid, shape))
+        return _sample_grouped_gt(fetch, h, w, iy, ix, v, group,
+                                  with_coverage)
     iy = iy.reshape(-1)
     ix = ix.reshape(-1)
     n = iy.shape[0]

@@ -188,6 +188,39 @@ def test_grouped_resolve_knobs_exact_on_covered():
         T.SKY_SELECT, T.SKY_ANCHOR = old
 
 
+def test_grouped_resolve_gt_layout_bit_identical():
+    """The (G, NG) transposed layout (SKY_LAYOUT="gt"/"auto", the full-lane
+    TPU dataflow) must return bit-identical texels AND coverage vs the
+    (NG, G) reference dataflow ("flat"), pure-band and mid-fade, with a
+    valid mask and outliers — it is a layout change, not an algorithm
+    change. Width 512 engages the 16-pixel-group (gt-eligible) path."""
+    from raytracing_cuda_tpu.scene import textures as T
+
+    rng = np.random.default_rng(17)
+    H, W = 64, 128
+    tex = rng.integers(0, 256, (4, H, W, 3)).astype(np.uint8)
+    stack = T.sky_static_init(jnp.asarray(tex))
+    d = _smooth_dirs(8, 512, outlier_frac=0.03)
+    valid = jnp.asarray(rng.random((8, 512)) > 0.3)
+    assert T.sky_group_for_width(512) == 16
+    old = T.SKY_LAYOUT
+    try:
+        for sv in ([0, 1, 0, 0], [0.25, 0.75, 0, 0]):
+            svj = jnp.asarray(sv, np.float32)
+            outs = {}
+            for lay in ("flat", "auto"):
+                T.SKY_LAYOUT = lay
+                got, cov = T.sample_sky_grouped_pair(
+                    stack, H, W, d, 0.37, svj, valid=valid,
+                    with_coverage=True)
+                outs[lay] = (np.asarray(got), np.asarray(cov))
+            assert np.array_equal(outs["flat"][0], outs["auto"][0]), sv
+            assert np.array_equal(outs["flat"][1], outs["auto"][1]), sv
+            assert outs["auto"][1].mean() > 0.9
+    finally:
+        T.SKY_LAYOUT = old
+
+
 def test_sky_static_init_shapes():
     from raytracing_cuda_tpu.scene.textures import (SKY_TILE_X, SKY_TILE_Y,
                                                     sky_static_init)
