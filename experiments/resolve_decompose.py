@@ -79,6 +79,7 @@ def main():
     orig_idx = T._equirect_indices
     orig_fetch = T._fetch_rows_pair
     orig_pass = T._grouped_pass
+    orig_pass_gt = T._grouped_pass_gt
     orig_passes = T.SKY_PASSES
 
     # constant index planes for the noidx arm (same values the real frame
@@ -115,6 +116,7 @@ def main():
             T._equirect_indices = orig_idx
             T._fetch_rows_pair = orig_fetch
             T._grouped_pass = orig_pass
+            T._grouped_pass_gt = orig_pass_gt
             T.SKY_PASSES = orig_passes
 
     build("full")
@@ -176,16 +178,45 @@ def main():
         texel = winf[:, :g]          # slice, not select — the ablation
         return texel, covered
 
-    build("nosel", _grouped_pass=pass_slice)
+    # nosel in the gt layout: winf is (NG, 128); its transpose's first G
+    # rows give a (G, NG) texel plane without any per-pixel select
+    def pass_slice_gt(fetch, hh, ww, gy, gx, gv):
+        ty, tx = T.SKY_TILE_Y, T.SKY_TILE_X
+        hy, hx = ty // 2, tx // 2
+        nty, ntx = hh // ty, ww // tx
+        big = jnp.int32(1 << 29)
+        ay = T._masked_median_gt(gy, gv)[None, :]
+        ax = T._masked_median_gt(gx, gv)[None, :]
+        dx = jnp.mod(gx - ax + ww // 2, ww) - ww // 2
+        gxu = ax + dx
+        inl = gv & (jnp.abs(gy - ay) <= 2 * ty) & (jnp.abs(dx) <= 2 * tx)
+        min_iy = jnp.clip(jnp.min(jnp.where(inl, gy, big), axis=0), 0, hh - 1)
+        min_ix = jnp.min(jnp.where(inl, gxu, big), axis=0)
+        sy = hy * (min_iy // hy)
+        sx = hx * (min_ix // hx)
+        py = (sy // hy) % 2
+        px = (sx // hx) % 2
+        r = jnp.clip(sy // ty, 0, nty - 1)
+        k = jnp.mod((sx - px * hx) // tx, ntx)
+        tid = (py * 2 + px) * (nty * ntx) + r * ntx + k
+        winf = fetch(tid)
+        oy_raw = gy - sy[None, :]
+        ox_raw = gxu - sx[None, :]
+        covered = ((oy_raw >= 0) & (oy_raw < ty)
+                   & (ox_raw >= 0) & (ox_raw < tx))
+        texel = winf.T[:gy.shape[0]]         # slice, not select
+        return texel, covered
+
+    build("nosel", _grouped_pass=pass_slice, _grouped_pass_gt=pass_slice_gt)
 
     # plumbing-only: NO anchors, NO fetch, NO select — just the group
-    # reshape/pad dataflow, the covered-combine and the final unpack. If
-    # this still costs what the full resolve costs, the resolve is bound
-    # by its (NG, G) layout plumbing, not by any compute stage.
+    # reshape/pad (flat) or transpose (gt) dataflow, the covered-combine
+    # and the final unpack. If this still costs what the full resolve
+    # costs, the resolve is bound by its layout plumbing, not compute.
     def pass_plumb(fetch, hh, ww, gy, gx, gv):
         return gx.astype(jnp.float32), gv
 
-    build("plumbonly", _grouped_pass=pass_plumb)
+    build("plumbonly", _grouped_pass=pass_plumb, _grouped_pass_gt=pass_plumb)
 
     def block(fn, n):
         t0 = time.perf_counter()
