@@ -80,11 +80,6 @@ def _apply_aa(base, aa_flag, fxaa_static, pallas: bool):
     return fxaa_pallas(base) if pallas else fxaa(base)
 
 
-# per-plane sky resolve + combine on the grouped-pair hot path (the A/B
-# knob for the stacked (h, w, 3) epilogue it replaced — bit-identical)
-PLANAR_EPILOGUE = True
-
-
 def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
                  day_frac, height, width, interpret=False,
                  tri_clusters=None, sph_clusters=None, sky_grouped=False,
@@ -100,24 +95,14 @@ def _pallas_base(scene_f, lights, ambient, rays, packed_sky, sky_h, sky_w,
     scene/textures.py's grouped-resolve notes)."""
     from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
     from raytracing_cuda_tpu.render.reference import quantize
-    from raytracing_cuda_tpu.scene.textures import (
-        sample_sky_grouped, sample_sky_grouped_pair,
-        sample_sky_grouped_pair_planar, sample_sky_packed,
-        sample_sky_packed_pair)
+    from raytracing_cuda_tpu.scene.textures import (sample_sky_grouped,
+                                                    sample_sky_grouped_pair,
+                                                    sample_sky_packed,
+                                                    sample_sky_packed_pair)
 
     r, g, b, mw, mdx, mdy, mdz = render_base_planes_pallas(
         scene_f, lights, ambient, rays, height, width, interpret=interpret,
         tri_clusters=tri_clusters, sph_clusters=sph_clusters, t_subs=t_subs)
-    if sky_grouped and sky_vars is not None and PLANAR_EPILOGUE:
-        # hot path: planar resolve + per-plane combine — no (h, w, 3)
-        # tensor before the final uint8 stack (bit-identical; the stacks
-        # measured ~1-2 ms of pure relayout at 720p, docs/PERFORMANCE.md)
-        skyr, skyg, skyb = sample_sky_grouped_pair_planar(
-            packed_sky, sky_h, sky_w, mdx, mdy, mdz, day_frac, sky_vars,
-            mw > 0)
-        return jnp.stack([quantize(r + mw * skyr),
-                          quantize(g + mw * skyg),
-                          quantize(b + mw * skyb)], axis=-1)
     mdir = jnp.stack([mdx, mdy, mdz], axis=-1)
     if sky_grouped and sky_vars is not None:
         sky = sample_sky_grouped_pair(packed_sky, sky_h, sky_w, mdir,

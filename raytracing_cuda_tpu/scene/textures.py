@@ -162,14 +162,8 @@ def sample_sky_packed(packed, h, w, d, day_frac):
 
 def _equirect_indices(h, w, d, day_frac):
     """Shared equirect index math (kernel.cu:156-163): direction → (iy, ix)."""
-    return _equirect_indices_planar(h, w, d[..., 0], d[..., 1], d[..., 2],
-                                    day_frac)
-
-
-def _equirect_indices_planar(h, w, dx, dy, dz, day_frac):
-    """_equirect_indices on three direction PLANES (no (..., 3) stack)."""
-    y = 1.0 - (jnp.arcsin(jnp.clip(dy, -1.0, 1.0)) + PI / 2.0) / PI
-    x = jnp.mod((jnp.arctan2(dx, dz) + PI) / (2.0 * PI) + day_frac, 1.0)
+    y = 1.0 - (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + PI / 2.0) / PI
+    x = jnp.mod((jnp.arctan2(d[..., 0], d[..., 2]) + PI) / (2.0 * PI) + day_frac, 1.0)
     ix = jnp.clip((x * w).astype(jnp.int32), 0, w - 1)
     iy = jnp.clip((y * h).astype(jnp.int32), 0, h - 1)
     return iy, ix
@@ -695,60 +689,6 @@ def sample_sky_grouped_pair(phases_all, h, w, d, day_frac, sky_vars,
     """
     return _sample_grouped(_fetch_rows_pair(phases_all, sky_vars), h, w, d,
                            day_frac, valid, with_coverage)
-
-
-def sample_sky_grouped_pair_planar(phases_all, h, w, dx, dy, dz, day_frac,
-                                   sky_vars, valid):
-    """sample_sky_grouped_pair on direction PLANES → three (H, W) planes.
-
-    The engine hot path: bit-identical texels to sample_sky_grouped_pair,
-    but no (..., 3) tensor is ever materialized — the minor-dim-3 stacks
-    (mdir in, sky out) measured ~1-2 ms at 720p on the TPU (the resolve
-    decomposition showed every compute stage is ~free; the cost is
-    layout). The per-pixel (iy, ix, valid) triple rides ONE packed int32
-    plane through the gt transpose ((iy·w + ix)·2 + valid < 2^27 for the
-    8192×4096 reference skies), so one relayout crosses into the (G, NG)
-    group layout instead of three, and the three returned channel planes
-    fuse into the caller's per-plane combine + quantize.
-
-    Shapes/knobs outside the gt-eligible set (tiny group-8 frames, forced
-    flat layout, non-median anchor) fall back to the stacked resolve and
-    split its output — always correct, never faster."""
-    H, W = dx.shape
-    group = sky_group_for_width(W)
-    if not (SKY_LAYOUT != "flat" and group >= 16 and W % group == 0
-            and SKY_ANCHOR == "median"):
-        sky = sample_sky_grouped_pair(
-            phases_all, h, w, jnp.stack([dx, dy, dz], axis=-1), day_frac,
-            sky_vars, valid=valid)
-        return sky[..., 0], sky[..., 1], sky[..., 2]
-    iy, ix = _equirect_indices_planar(h, w, dx, dy, dz, day_frac)
-    v = jnp.broadcast_to(valid, (H, W))
-    code = (iy * w + ix) * 2 + v.astype(jnp.int32)
-    nb = W // group
-    gc = code.reshape(H, nb, group).transpose(2, 0, 1).reshape(group, -1)
-    lin = gc >> 1
-    gy = lin // w
-    gx = lin - gy * w
-    gv = (gc & 1) > 0
-
-    fetch = _fetch_rows_pair(phases_all, sky_vars)
-    texel = covered = None
-    leftover = gv
-    for _ in range(SKY_PASSES):          # group >= 16 (checked above)
-        tk, ck = _grouped_pass_gt(fetch, h, w, gy, gx, leftover)
-        if texel is None:
-            texel, covered = tk, ck
-        else:
-            texel = jnp.where(covered, texel, tk)
-            covered = covered | ck
-        leftover = leftover & ~covered
-    t2 = (texel.astype(jnp.int32)
-          .reshape(group, H, nb).transpose(1, 2, 0).reshape(H, W))
-    s = jnp.float32(1.0 / 255.0)
-    return ((t2 & 0xFF).astype(jnp.float32) * s,
-            ((t2 >> 8) & 0xFF).astype(jnp.float32) * s,
-            ((t2 >> 16) & 0xFF).astype(jnp.float32) * s)
 
 
 def _sample_grouped(fetch, h, w, d, day_frac, valid=None,

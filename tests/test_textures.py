@@ -221,57 +221,6 @@ def test_grouped_resolve_gt_layout_bit_identical():
         T.SKY_LAYOUT = old
 
 
-def test_grouped_resolve_planar_bit_identical():
-    """sample_sky_grouped_pair_planar (the engine hot path: plane-in,
-    plane-out, one packed-int32 transpose) must match the stacked resolve
-    channel-for-channel, bit-identically — pure band and mid-fade, eligible
-    (width 512 → group 16) AND fallback (width 64 → group 8) shapes."""
-    from raytracing_cuda_tpu.scene import textures as T
-
-    rng = np.random.default_rng(23)
-    H, W = 64, 128
-    tex = rng.integers(0, 256, (4, H, W, 3)).astype(np.uint8)
-    stack = T.sky_static_init(jnp.asarray(tex))
-    for fw in (512, 64):
-        d = _smooth_dirs(8, fw, outlier_frac=0.03)
-        valid = jnp.asarray(rng.random((8, fw)) > 0.3)
-        for sv in ([0, 1, 0, 0], [0.25, 0.75, 0, 0]):
-            svj = jnp.asarray(sv, np.float32)
-            want = np.asarray(T.sample_sky_grouped_pair(
-                stack, H, W, d, 0.37, svj, valid=valid))
-            got = np.stack([np.asarray(p) for p in
-                            T.sample_sky_grouped_pair_planar(
-                                stack, H, W, d[..., 0], d[..., 1],
-                                d[..., 2], 0.37, svj, valid)], axis=-1)
-            assert np.array_equal(want, got), (fw, sv)
-
-
-def test_pipeline_planar_epilogue_bit_identical():
-    """_pallas_base with PLANAR_EPILOGUE must render the same uint8 image
-    as the stacked epilogue on the static-sky grouped-pair path."""
-    from raytracing_cuda_tpu.render import pipeline as P
-    from raytracing_cuda_tpu.scene import textures as T
-    from raytracing_cuda_tpu.scene.builders import build_scene
-    from raytracing_cuda_tpu.sim import state as sim
-
-    scene = build_scene()
-    sky = T.procedural_skies(64, 128)
-    tex = jnp.asarray(sky.texels) if hasattr(sky, "texels") else jnp.asarray(sky)
-    stack = T.sky_static_init(tex)
-    st = sim.settle(sim.init_state()._replace(day_time=jnp.float32(9.0)))
-    old = P.PLANAR_EPILOGUE
-    try:
-        outs = {}
-        for planar in (True, False):
-            P.PLANAR_EPILOGUE = planar
-            outs[planar] = np.asarray(P.render_frame_static_sky(
-                scene, st, stack, tex.shape[1], tex.shape[2], 64, 512,
-                interpret=True))
-        assert np.array_equal(outs[True], outs[False])
-    finally:
-        P.PLANAR_EPILOGUE = old
-
-
 def test_sky_static_init_shapes():
     from raytracing_cuda_tpu.scene.textures import (SKY_TILE_X, SKY_TILE_Y,
                                                     sky_static_init)
