@@ -188,7 +188,9 @@ def tune(args):
     cancel the tunnel's session drift), then confirms the top-2 with a
     pairwise A/B. Emits the winner as JSON (stdout + autotune.json).
     Each candidate costs one compile (minutes cold, cached after); the
-    shipped default (16, 256)/split 1/t_bound on was chosen this way.
+    shipped default (48, 128)/split 1/t_bound on was chosen this way
+    (autotune.json carries the committed winner; the kernel's
+    DEFAULT_TILE_H/W and test_kernel_defaults_match_autotune track it).
     """
     import itertools
 
@@ -228,14 +230,19 @@ def tune(args):
         return (time.perf_counter() - t0) / n * 1e3
 
     # candidate set: tile grid at default split/t_bound, plus split/t_bound
-    # variants of the shipped tile
+    # variants of the SHIPPED tile (the current kernel defaults — a stale
+    # literal here once measured the knobs at the pre-autotune (16, 256))
+    from raytracing_cuda_tpu.render.pallas_rt import (DEFAULT_TILE_H,
+                                                      DEFAULT_TILE_W)
+
     cands = {}
     for th, tw in itertools.product(ths, tws):
         if tw % 128:
             continue
         cands[f"tile{th}x{tw}"] = (th, tw, True, 1)
-    cands["split2"] = (16, 256, True, 2)
-    cands["no_t_bound"] = (16, 256, False, 1)
+    split_tw = DEFAULT_TILE_W if DEFAULT_TILE_W % 256 == 0 else 256
+    cands["split2"] = (DEFAULT_TILE_H, split_tw, True, 2)
+    cands["no_t_bound"] = (DEFAULT_TILE_H, DEFAULT_TILE_W, False, 1)
 
     fns = {}
     for name, knobs in cands.items():

@@ -70,13 +70,26 @@ def main():
               sky_grouped=True)
 
     fns = {}
+    selects = args.selects.split(",")
+    anchors = args.anchors.split(",")
     layouts = args.layouts.split(",") if args.layouts else [T.SKY_LAYOUT]
+    # The gt layout engages only for the median anchor and ignores
+    # SKY_SELECT entirely — under the default "auto" layout a select sweep
+    # would trace IDENTICAL programs (timing tunnel noise) and an anchor
+    # sweep would flip median arms to gt while others fall back flat
+    # (timing anchor+layout conflated). Pin flat so arms differ only by
+    # the knob under test; pass --layouts explicitly to override.
+    if (len(selects) > 1 or len(anchors) > 1) and not args.layouts:
+        print("select/anchor sweep: pinning SKY_LAYOUT='flat' so every arm "
+              "runs the layout that actually reads these knobs")
+        layouts = ["flat"]
     for sel, anc, passes, lay in itertools.product(
-            args.selects.split(","), args.anchors.split(","),
-            [int(p) for p in args.passes.split(",")], layouts):
+            selects, anchors, [int(p) for p in args.passes.split(",")],
+            layouts):
         T.SKY_SELECT, T.SKY_ANCHOR, T.SKY_PASSES = sel, anc, passes
         T.SKY_LAYOUT = lay
-        name = f"{sel}/{anc}/p{passes}/{lay}"
+        eff = "gt" if lay != "flat" and anc == "median" else "flat"
+        name = f"{sel}/{anc}/p{passes}/{lay}({eff})"
         fn = jax.jit(lambda s: _pallas_base(
             scene_f, lights, ambient, rays, s, sh, sw, day_frac, h, w,
             sky_vars=st.sky_vars, **kw))

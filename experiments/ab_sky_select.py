@@ -43,6 +43,12 @@ def main():
     enable_compilation_cache()
     w, h = (int(v) for v in args.size.split("x"))
 
+    # SKY_SELECT is only read by the FLAT-layout pass; under the default
+    # SKY_LAYOUT="auto" a real-size frame takes the gt layout (which
+    # hardcodes the plain one-hot) and every arm traces the SAME program —
+    # the A/B would time pure tunnel noise. Pin flat for the sweep.
+    textures.SKY_LAYOUT = "flat"
+
     def build(select):
         textures.SKY_SELECT = select
         return Engine(RenderConfig(width=w, height=h,

@@ -23,9 +23,13 @@ def _config(args) -> "RenderConfig":
     from raytracing_cuda_tpu.utils.config import RenderConfig
 
     w, h = (int(v) for v in args.size.lower().split("x"))
+    # preview is a window-only knob (the help text scopes it); forwarding
+    # it for render/record/bench would make RenderConfig's divisibility
+    # validation reject runs that never read it
+    preview = getattr(args, "preview", 1) if args.command == "window" else 1
     return RenderConfig(width=w, height=h, sky_source=args.sky, path=args.path,
                         scene=args.scene, procedural_sky_shape=(1024, 2048),
-                        preview=getattr(args, "preview", 1))
+                        preview=preview)
 
 
 def main(argv=None):

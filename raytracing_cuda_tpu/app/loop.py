@@ -71,14 +71,27 @@ class Engine:
                     ver_angle=jnp.float32(cc["ver_angle"]),
                     fov=jnp.float32(cc["fov"])))
         self.mesh = make_mesh() if sharded else None
-        if (self.mesh is not None and self.config.height
-                % (max(self.mesh.size, 1) * self.config.shard_interleave)):
-            # fail fast: render_frame_sharded would raise the same error,
-            # but only on the first frame — after a minutes-long compile
-            raise ValueError(
-                f"height {self.config.height} not divisible by mesh size "
-                f"{self.mesh.size} x shard_interleave "
-                f"{self.config.shard_interleave}")
+        if self.mesh is not None and self.mesh.size > 1:
+            if self.config.height % (self.mesh.size
+                                     * self.config.shard_interleave):
+                # fail fast: render_frame_sharded would raise the same
+                # error, but only on the first frame — after a minutes-long
+                # compile
+                raise ValueError(
+                    f"height {self.config.height} not divisible by mesh "
+                    f"size {self.mesh.size} x shard_interleave "
+                    f"{self.config.shard_interleave}")
+        elif sharded and self.config.shard_interleave > 1:
+            # one device: the render path below degrades to single-chip
+            # (mesh=None), where striding does not exist — say so instead
+            # of silently ignoring the requested interleave (or, worse,
+            # rejecting a height over a mesh that will never be used)
+            import warnings
+
+            warnings.warn(
+                f"sharded=True on a single-device backend: "
+                f"shard_interleave={self.config.shard_interleave} has no "
+                f"effect (rendering single-chip)", stacklevel=2)
         self.path = self.config.resolved_path()
         self.tri_clusters = TRI_CLUSTERS.get(self.config.scene)
         self.sph_clusters = SPH_CLUSTERS.get(self.config.scene)

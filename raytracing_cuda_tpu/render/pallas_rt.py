@@ -103,6 +103,13 @@ MAX_CLUSTERS = 24    # triangle cluster SUB-bounds first (t_subs may refine
                      # the cull), then sphere cluster bounds
 N_PARAMS = P_CLUSTERS + 4 * MAX_CLUSTERS
 
+# Shipped launch-tile defaults — the committed `bench.py --tune` winner
+# (autotune.json; test_kernel_defaults_match_autotune pins the two
+# together). Every caller that pads a framebuffer to tile multiples must
+# use THESE, not a literal: partial edge blocks run ~14x slower on Mosaic.
+DEFAULT_TILE_H = 48
+DEFAULT_TILE_W = 128
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -903,7 +910,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
     "total_h", "total_w", "t_bound", "lane_split", "t_subs"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pads: tuple, s_occl: tuple,
-                          TH: int = 48, TW: int = 128,
+                          TH: int = DEFAULT_TILE_H, TW: int = DEFAULT_TILE_W,
                           interpret: bool = False,
                           total_h: int | None = None,
                           total_w: int | None = None,
@@ -946,7 +953,8 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
 
 def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
                     s_pads: tuple, s_occl: tuple,
-                    TH: int = 48, TW: int = 128, interpret: bool = False,
+                    TH: int = DEFAULT_TILE_H, TW: int = DEFAULT_TILE_W,
+                    interpret: bool = False,
                     total_h: int | None = None,
                     total_w: int | None = None, t_bound: bool = True,
                     lane_split: int = 1, t_subs: tuple | None = None):
@@ -959,8 +967,10 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
 
 
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
-                              height: int, width: int, tile_h: int = 48,
-                              tile_w: int = 128, interpret: bool = False,
+                              height: int, width: int,
+                              tile_h: int = DEFAULT_TILE_H,
+                              tile_w: int = DEFAULT_TILE_W,
+                              interpret: bool = False,
                               tri_clusters: tuple | None = None,
                               sph_clusters: tuple | None = None,
                               row0=0, total_height: int | None = None,

@@ -185,8 +185,9 @@ def render_frames_batch(scene: Scene, state, sky_pack,
 
     from raytracing_cuda_tpu.render.fxaa import fxaa
     from raytracing_cuda_tpu.render.pallas_rt import (
-        P_CLUSTERS, _round_up, cluster_bounds, pack_params, pack_scene,
-        raytrace_planes_batch, sph_cluster_norm, tri_cluster_pads)
+        DEFAULT_TILE_H, DEFAULT_TILE_W, P_CLUSTERS, _round_up, cluster_bounds,
+        pack_params, pack_scene, raytrace_planes_batch, sph_cluster_norm,
+        tri_cluster_pads)
     from raytracing_cuda_tpu.render.reference import quantize
     from raytracing_cuda_tpu.sim.actions import Action
     from raytracing_cuda_tpu.sim.state import animate as sim_animate
@@ -227,8 +228,10 @@ def render_frames_batch(scene: Scene, state, sky_pack,
             f"{len(t_pads)} tri + {len(s_pads)} sphere clusters exceed "
             f"MAX_CLUSTERS={MAX_CLUSTERS}; the bounds would overflow the "
             f"params vector")
-    h_pad = _round_up(height, 16)
-    w_pad = _round_up(width, 256)
+    # pad to the SHIPPED launch tile (partial edge blocks are ~14x slower;
+    # a stale literal here once pinned the pre-autotune (16, 256) tile)
+    h_pad = _round_up(height, DEFAULT_TILE_H)
+    w_pad = _round_up(width, DEFAULT_TILE_W)
     planes = raytrace_planes_batch(
         coefs, params, h_pad, w_pad, t_pads, s_pads, s_occl,
         interpret=interpret, total_h=height, total_w=width)

@@ -266,3 +266,27 @@ def test_engine_sharded_smoke():
                               chunk=2048), sharded=True)
     img = eng.frame_np()
     assert img.shape == (64, 128, 3) and img.dtype == np.uint8
+
+
+def test_engine_sharded_single_device_degrades_with_warning(monkeypatch):
+    """sharded=True on a 1-device backend must degrade to single-chip:
+    shard_interleave is unused there, so a non-dividing interleave gets a
+    warning, NOT the mesh-divisibility ValueError (which once fired against
+    a mesh the render path never uses)."""
+    import warnings
+
+    from raytracing_cuda_tpu.app import loop as L
+    from raytracing_cuda_tpu.parallel.mesh import make_mesh
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    monkeypatch.setattr(L, "make_mesh", lambda: make_mesh(1))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        eng = L.Engine(RenderConfig(width=128, height=64,
+                                    sky_source="procedural",
+                                    procedural_sky_shape=(32, 64),
+                                    path="fast", chunk=2048,
+                                    shard_interleave=7), sharded=True)
+    assert any("shard_interleave" in str(w.message) for w in rec)
+    img = eng.frame_np()
+    assert img.shape == (64, 128, 3)

@@ -113,3 +113,19 @@ def test_engine_resized_shares_assets_and_state():
     assert float(big.state.day_time) == float(eng.state.day_time)
     img = np.asarray(big.frame())
     assert img.shape == (64, 96, 3) and img.dtype == np.uint8
+
+
+def test_cli_preview_is_window_only():
+    """--preview must only reach RenderConfig for the window command: it
+    is a window-loop knob, and forwarding it for render/record/bench made
+    the config's divisibility validation reject runs that never read it."""
+    import argparse
+
+    from raytracing_cuda_tpu.__main__ import _config
+
+    base = dict(size="1280x720", sky="procedural", path="auto",
+                scene="island", preview=3)   # 720 % 3 == 0 but 1280 % 3 != 0
+    cfg = _config(argparse.Namespace(command="record", **base))
+    assert cfg.preview == 1
+    with pytest.raises(ValueError, match="preview"):
+        _config(argparse.Namespace(command="window", **base))
