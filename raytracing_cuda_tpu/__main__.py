@@ -51,6 +51,12 @@ def main(argv=None):
     ap.add_argument("--no-aa", action="store_true")
     ap.add_argument("--gif", default=None,
                     help="record: also assemble frames into an animated GIF")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="record: shard frame batches across N devices "
+                         "(frame data parallelism, parallel/frames.py; "
+                         "bit-identical output, ~linear offline throughput "
+                         "on real multi-chip hardware; needs the pallas "
+                         "static-sky path)")
     ap.add_argument("--preview", type=int, default=1,
                     help="window: render full-res but read back a 1/N-size "
                          "on-device downsample and upscale in the blit "
@@ -142,7 +148,22 @@ def main(argv=None):
                 time_control=np.int32(1))
 
         def emit_all(write):
-            for i in range(args.frames):
+            i = 0
+            if args.dp > 1:
+                # frame-DP batches (bit-identical to the sequential loop);
+                # a handful of batches per dispatch amortizes host costs,
+                # any non-divisible tail falls through to single steps
+                batch = args.dp * 4
+                while args.frames - i >= args.dp:
+                    k = min(batch, args.frames - i) // args.dp * args.dp
+                    vecs = np.stack([scripted(i + j).pack(1 / 30)
+                                     for j in range(k)])
+                    imgs = np.asarray(eng.render_script_dp(vecs, args.dp))
+                    for j in range(k):
+                        write(imgs[j],
+                              os.path.join(out_dir, f"{i + j:04d}.png"))
+                    i += k
+            for i in range(i, args.frames):
                 img = eng.step_and_frame(scripted(i), 1 / 30)
                 write(np.asarray(img), os.path.join(out_dir, f"{i:04d}.png"))
 

@@ -270,6 +270,36 @@ class Engine:
             self.scene, self.state, self.sky_texels, self._sky_pack, vecs)
         return imgs
 
+    def render_script_dp(self, action_vecs, n_devices: int | None = None):
+        """Offline frame-data-parallel batch → (K, H, W, 3) uint8.
+
+        Shards the K frames of a scripted animation across the devices
+        (parallel/frames.py) — the throughput complement of the
+        row-sharded latency path; bit-identical to K step_and_frame calls
+        and advances self.state past all K frames. Requires the pallas
+        static-sky single-chip configuration (the per-frame program frame
+        DP fans out) and K divisible by the device count.
+        """
+        from raytracing_cuda_tpu.parallel import frames as F
+
+        if self.mesh is not None:
+            raise ValueError("frame DP and row sharding are alternative "
+                             "layouts; build the Engine with sharded=False")
+        if not (self.path.startswith("pallas") and self._sky_pack.size):
+            raise ValueError("render_script_dp needs the pallas static-sky "
+                             "path (config path='pallas', sky_cache=True)")
+        if isinstance(action_vecs, (list, tuple)):
+            action_vecs = np.stack([a.pack(1 / 60) for a in action_vecs])
+        sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
+        imgs, self.state = F.render_script_dp(
+            self.scene, self.state, self._sky_pack, jnp.asarray(action_vecs),
+            mesh=F.make_frames_mesh(n_devices), sky_h=sh, sky_w=sw,
+            height=self.config.height, width=self.config.width,
+            aspect=self.config.aspect,
+            tri_clusters=self.tri_clusters, sph_clusters=self.sph_clusters,
+            interpret=self.path == "pallas_interpret", t_subs=self.tri_subs)
+        return imgs
+
     def resized(self, width: int, height: int) -> "Engine":
         """New Engine at a different framebuffer size, sharing loaded assets
         and carrying the sim state over — the reference's reshape

@@ -1,0 +1,111 @@
+"""Frame-data-parallel offline rendering over a jax.sharding.Mesh.
+
+The row-sharded path (parallel/mesh.py) cuts LATENCY: one frame's rows
+spread over the mesh so an interactive viewer sees it sooner. Offline
+scripted rendering (record / GIF assembly / soaks, SURVEY.md §2 #3's
+headless analogue) wants THROUGHPUT instead — and frames of a scripted
+animation are embarrassingly parallel once their states are known. This
+path shards the FRAME axis: the host state machine (the scene.cpp:806-816
+analogue — a few hundred scalar ops per frame) pre-scans all K states
+sequentially (replicated, trivially cheap), then each device renders its
+contiguous block of frames with the SAME single-frame program the
+engine's hot path runs (render_frame_static_sky), so output is
+bit-identical to stepping the single-chip engine frame by frame (pinned
+by tests/test_parallel.py). There are no collectives in the render loop
+at all; the only cross-device traffic is the output gather at readback.
+
+Expected scaling on real multi-chip hardware is ~linear in devices — the
+per-frame render has no cross-frame dependency and the ~5 KB scene and
+static sky stack are replicated — which is the right trade for offline
+batches, where the row-sharded path's per-frame halo exchange and
+skewed-band work balance buy nothing. Like everywhere else, the static
+sky pack rides as a runtime ARGUMENT (a closed-over pack would be baked
+into the executable as a multi-GB constant).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raytracing_cuda_tpu.core.types import Scene
+from raytracing_cuda_tpu.sim.state import FrameState
+
+AXIS = "frames"
+
+
+def make_frames_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D device mesh over the scripted-animation frame axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, (AXIS,))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "sky_h", "sky_w", "height", "width", "aspect",
+                     "fxaa_static", "tri_clusters", "sph_clusters",
+                     "interpret", "t_subs"),
+)
+def render_script_dp(scene: Scene, state: FrameState, sky_pack,
+                     action_vecs, *, mesh: Mesh, sky_h: int, sky_w: int,
+                     height: int, width: int, aspect: float | None = None,
+                     fxaa_static: bool | None = None,
+                     tri_clusters: tuple | None = None,
+                     sph_clusters: tuple | None = None,
+                     interpret: bool = False,
+                     t_subs: tuple | None = None):
+    """Render a scripted animation with frames sharded over the mesh.
+
+    action_vecs: (K, 16) packed Action(+dt) wire vectors (Action.pack),
+    exactly like Engine.step_and_frame_batch. K must divide evenly over
+    the mesh (render any remainder with single-frame steps, as Engine.run
+    does for its batches). sky_pack is the static all-panorama stack from
+    textures.sky_static_init, replicated on every device.
+
+    Returns (imgs (K, H, W, 3) uint8 sharded on the frame axis,
+    last_state). Frame k's image is bit-identical to the k-th
+    Engine.step_and_frame from the same initial state.
+    """
+    from raytracing_cuda_tpu.render.pipeline import render_frame_static_sky
+    from raytracing_cuda_tpu.sim.actions import Action
+    from raytracing_cuda_tpu.sim.state import animate as sim_animate
+
+    n = mesh.shape[AXIS]
+    K = action_vecs.shape[0]
+    if K % n:
+        raise ValueError(f"{K} frames not divisible over {n} devices; "
+                         f"render the remainder with single-frame steps")
+
+    # 1. the sequential (and cheap) part: the host state machine
+    def pre(carry, av):
+        st = sim_animate(carry, Action.unpack(av), Action.unpack_dt(av))
+        return st, st
+
+    last_state, states = jax.lax.scan(pre, state, action_vecs)
+
+    # 2. the heavy, embarrassingly-parallel part: device d renders frames
+    # [d*K/n, (d+1)*K/n) with the engine's single-frame program
+    def shard_fn(scene, states, sky_pack):
+        def one(st):
+            return render_frame_static_sky(
+                scene, st, sky_pack, sky_h, sky_w, height, width,
+                aspect=aspect, fxaa_static=fxaa_static,
+                tri_clusters=tri_clusters, sph_clusters=sph_clusters,
+                interpret=interpret, t_subs=t_subs)
+
+        return jax.lax.map(one, states)
+
+    imgs = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P()),
+        out_specs=P(AXIS),
+        # the lax.map carry starts replicated and becomes device-varying
+        # (same situation as the row-sharded path's scan carries)
+        check_vma=False,
+    )(scene, states, sky_pack)
+    return imgs, last_state

@@ -290,3 +290,47 @@ def test_engine_sharded_single_device_degrades_with_warning(monkeypatch):
     assert any("shard_interleave" in str(w.message) for w in rec)
     img = eng.frame_np()
     assert img.shape == (64, 128, 3)
+
+
+def test_render_script_dp_matches_engine_frames():
+    """Frame-data-parallel offline rendering (parallel/frames.py): frames
+    sharded over the mesh must be bit-identical to stepping the single-chip
+    engine frame by frame — same state machine, same per-frame program.
+    Initial state sits mid-fade (day 8.5) so the pair resolve's two-gather
+    branch is exercised, and the clock plays so every frame differs."""
+    import jax.numpy as jnp
+
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.parallel.frames import (make_frames_mesh,
+                                                     render_script_dp)
+    from raytracing_cuda_tpu.sim import state as sim
+    from raytracing_cuda_tpu.sim.actions import Action
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    eng = Engine(RenderConfig(width=128, height=64, sky_source="procedural",
+                              procedural_sky_shape=(32, 64),
+                              path="pallas_interpret", chunk=2048))
+    eng.state = sim.settle(sim.init_state()._replace(
+        day_time=jnp.float32(8.5)))
+    st0 = eng.state
+    K = 8
+    avs = jnp.stack([Action.idle().pack(1 / 30)] * K)
+
+    seq = np.stack([np.asarray(eng.step_and_frame(Action.idle(), 1 / 30))
+                    for _ in range(K)])
+
+    sh, sw = eng.sky_texels.shape[1], eng.sky_texels.shape[2]
+    for n_dev in (4, 8):
+        imgs, last = render_script_dp(
+            eng.scene, st0, eng._sky_pack, avs,
+            mesh=make_frames_mesh(n_dev), sky_h=sh, sky_w=sw,
+            height=64, width=128, tri_clusters=eng.tri_clusters,
+            sph_clusters=eng.sph_clusters, interpret=True,
+            t_subs=eng.tri_subs)
+        assert np.array_equal(np.asarray(imgs), seq), n_dev
+    assert np.allclose(float(last.day_time), float(eng.state.day_time))
+
+    with pytest.raises(ValueError, match="divisible"):
+        render_script_dp(eng.scene, st0, eng._sky_pack, avs[:6],
+                         mesh=make_frames_mesh(4), sky_h=sh, sky_w=sw,
+                         height=64, width=128, interpret=True)
