@@ -27,8 +27,9 @@ def _config(args) -> "RenderConfig":
     # it for render/record/bench would make RenderConfig's divisibility
     # validation reject runs that never read it
     preview = getattr(args, "preview", 1) if args.command == "window" else 1
+    ssh, ssw = (int(v) for v in args.sky_shape.lower().split("x"))
     return RenderConfig(width=w, height=h, sky_source=args.sky, path=args.path,
-                        scene=args.scene, procedural_sky_shape=(1024, 2048),
+                        scene=args.scene, procedural_sky_shape=(ssh, ssw),
                         preview=preview)
 
 
@@ -40,8 +41,16 @@ def main(argv=None):
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--sky", default="auto",
                     choices=["auto", "reference", "procedural"])
+    ap.add_argument("--sky-shape", default="1024x2048",
+                    help="procedural panorama size HxW (sky=procedural; "
+                         "smaller is faster to build and resolve)")
     ap.add_argument("--path", default="auto",
-                    choices=["auto", "pallas", "fast", "oracle"])
+                    choices=["auto", "pallas", "pallas_interpret", "fast",
+                             "oracle"],
+                    help="render path; pallas_interpret runs the megakernel "
+                         "in interpret mode on CPU (slow — debugging and "
+                         "TPU-free exercise of the pallas-only features, "
+                         "e.g. record --dp)")
     ap.add_argument("--scene", default="island", choices=["island", "classic"])
     ap.add_argument("--state", default=None,
                     help="load a FrameState checkpoint (utils.checkpoint JSON)")

@@ -1,0 +1,67 @@
+"""CLI-level tests for `python -m raytracing_cuda_tpu record --dp`.
+
+The reference exposes only `raytracing.exe [-device=N]` (main.cpp:338-384);
+record is this build's headless output mode. Frame-for-frame bit-parity of
+the frame-DP path against sequential stepping is pinned at the Engine
+level (test_parallel.py); what the CLI adds on top is host batching logic
+— full dp-divisible batches, then a sequential tail — so that is what
+these tests pin, with the render calls stubbed to index-tagged images
+(running the interpret-mode megakernel twice over a dozen frames costs
+minutes and re-proves nothing the Engine test doesn't).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from raytracing_cuda_tpu.__main__ import main
+
+
+def _tag_img(i):
+    img = np.zeros((64, 128, 3), np.uint8)
+    img[0, 0, 0] = i
+    return img
+
+
+def test_record_dp_batches_and_tail(tmp_path, monkeypatch):
+    """10 frames at --dp 4: the loop must issue dp-divisible DP batches
+    (8 frames) then fall through to single-frame steps for the remainder
+    (2), with every output frame landing at its own script index."""
+    from raytracing_cuda_tpu.app import loop as loop_mod
+
+    calls = []
+
+    def fake_dp(self, vecs, n):
+        assert len(vecs) % n == 0
+        calls.append(("dp", len(vecs), n))
+        start = sum(c[1] for c in calls[:-1])
+        return np.stack([_tag_img(start + j) for j in range(len(vecs))])
+
+    def fake_step(self, action, dt):
+        calls.append(("seq", 1, 1))
+        return _tag_img(sum(c[1] for c in calls[:-1]))
+
+    monkeypatch.setattr(loop_mod.Engine, "render_script_dp", fake_dp)
+    monkeypatch.setattr(loop_mod.Engine, "step_and_frame", fake_step)
+
+    out = str(tmp_path / "frames")
+    assert main(["record", out, "--frames", "10", "--dp", "4",
+                 "--size", "128x64", "--sky", "procedural",
+                 "--sky-shape", "32x64", "--path", "pallas_interpret"]) == 0
+
+    # one 8-frame DP dispatch (dp*4 batch cap, clipped to the divisible 8),
+    # then two sequential tail frames
+    assert calls == [("dp", 8, 4), ("seq", 1, 1), ("seq", 1, 1)]
+    for i in range(10):
+        img = np.asarray(
+            Image.open(os.path.join(out, f"{i:04d}.png")).convert("RGB"))
+        assert img[0, 0, 0] == i, i
+
+
+def test_record_dp_requires_pallas_static_sky(tmp_path):
+    with pytest.raises(ValueError, match="static-sky"):
+        main(["record", str(tmp_path / "x"), "--frames", "4", "--dp", "4",
+              "--size", "128x64", "--sky", "procedural",
+              "--sky-shape", "32x64", "--path", "fast"])
