@@ -19,15 +19,25 @@ import sys
 import numpy as np
 
 
+def _parse_wh(value: str, flag: str) -> "tuple[int, int]":
+    try:
+        w, h = (int(v) for v in value.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"{flag} must be WxH (e.g. 1280x720), "
+                         f"got {value!r}")
+    return w, h
+
+
 def _config(args) -> "RenderConfig":
     from raytracing_cuda_tpu.utils.config import RenderConfig
 
-    w, h = (int(v) for v in args.size.lower().split("x"))
+    w, h = _parse_wh(args.size, "--size")
     # preview is a window-only knob (the help text scopes it); forwarding
     # it for render/record/bench would make RenderConfig's divisibility
     # validation reject runs that never read it
     preview = getattr(args, "preview", 1) if args.command == "window" else 1
-    ssh, ssw = (int(v) for v in args.sky_shape.lower().split("x"))
+    ssw, ssh = _parse_wh(getattr(args, "sky_shape", "2048x1024"),
+                         "--sky-shape")
     return RenderConfig(width=w, height=h, sky_source=args.sky, path=args.path,
                         scene=args.scene, procedural_sky_shape=(ssh, ssw),
                         preview=preview)
@@ -41,9 +51,10 @@ def main(argv=None):
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--sky", default="auto",
                     choices=["auto", "reference", "procedural"])
-    ap.add_argument("--sky-shape", default="1024x2048",
-                    help="procedural panorama size HxW (sky=procedural; "
-                         "smaller is faster to build and resolve)")
+    ap.add_argument("--sky-shape", default="2048x1024",
+                    help="procedural panorama size WxH, same axis order as "
+                         "--size (sky=procedural; smaller is faster to "
+                         "build and resolve)")
     ap.add_argument("--path", default="auto",
                     choices=["auto", "pallas", "pallas_interpret", "fast",
                              "oracle"],
@@ -63,8 +74,9 @@ def main(argv=None):
     ap.add_argument("--dp", type=int, default=1,
                     help="record: shard frame batches across N devices "
                          "(frame data parallelism, parallel/frames.py; "
-                         "bit-identical output, ~linear offline throughput "
-                         "on real multi-chip hardware; needs the pallas "
+                         "matches sequential output within the parity "
+                         "gates, ~linear offline throughput on real "
+                         "multi-chip hardware; needs the pallas "
                          "static-sky path)")
     ap.add_argument("--preview", type=int, default=1,
                     help="window: render full-res but read back a 1/N-size "
@@ -159,12 +171,15 @@ def main(argv=None):
         def emit_all(write):
             i = 0
             if args.dp > 1:
-                # frame-DP batches (bit-identical to the sequential loop);
-                # a handful of batches per dispatch amortizes host costs,
-                # any non-divisible tail falls through to single steps
-                batch = args.dp * 4
-                while args.frames - i >= args.dp:
-                    k = min(batch, args.frames - i) // args.dp * args.dp
+                # frame-DP batches: a few frames per device per dispatch
+                # amortizes host costs. The batch size is fixed ONCE so
+                # every DP dispatch shares one compiled shape (a smaller
+                # dp-divisible tail would trace a second program — minutes
+                # on the remote toolchain — to save a handful of cheap
+                # single-frame steps); the sub-batch remainder falls
+                # through to the sequential loop below
+                k = min(args.dp * 4, args.frames // args.dp * args.dp)
+                while k and args.frames - i >= k:
                     vecs = np.stack([scripted(i + j).pack(1 / 30)
                                      for j in range(k)])
                     imgs = np.asarray(eng.render_script_dp(vecs, args.dp))

@@ -270,15 +270,19 @@ class Engine:
             self.scene, self.state, self.sky_texels, self._sky_pack, vecs)
         return imgs
 
-    def render_script_dp(self, action_vecs, n_devices: int | None = None):
+    def render_script_dp(self, action_vecs, n_devices: int | None = None,
+                         dt: float = 1 / 60):
         """Offline frame-data-parallel batch → (K, H, W, 3) uint8.
 
         Shards the K frames of a scripted animation across the devices
         (parallel/frames.py) — the throughput complement of the
-        row-sharded latency path; bit-identical to K step_and_frame calls
-        and advances self.state past all K frames. Requires the pallas
+        row-sharded latency path; matches K step_and_frame calls
+        (bit-identical on CPU, within parity gates on compiled TPU) and
+        advances self.state past all K frames. Requires the pallas
         static-sky single-chip configuration (the per-frame program frame
-        DP fans out) and K divisible by the device count.
+        DP fans out) and K divisible by the device count. dt applies only
+        when action_vecs is a list of Actions (pre-packed (K, 16) vectors
+        carry their own dt, like step_and_frame_batch).
         """
         from raytracing_cuda_tpu.parallel import frames as F
 
@@ -289,7 +293,7 @@ class Engine:
             raise ValueError("render_script_dp needs the pallas static-sky "
                              "path (config path='pallas', sky_cache=True)")
         if isinstance(action_vecs, (list, tuple)):
-            action_vecs = np.stack([a.pack(1 / 60) for a in action_vecs])
+            action_vecs = np.stack([a.pack(dt) for a in action_vecs])
         sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
         imgs, self.state = F.render_script_dp(
             self.scene, self.state, self._sky_pack, jnp.asarray(action_vecs),

@@ -9,10 +9,16 @@ path shards the FRAME axis: the host state machine (the scene.cpp:806-816
 analogue — a few hundred scalar ops per frame) pre-scans all K states
 sequentially (replicated, trivially cheap), then each device renders its
 contiguous block of frames with the SAME single-frame program the
-engine's hot path runs (render_frame_static_sky), so output is
-bit-identical to stepping the single-chip engine frame by frame (pinned
-by tests/test_parallel.py). There are no collectives in the render loop
-at all; the only cross-device traffic is the output gather at readback.
+engine's hot path runs (render_frame_static_sky), so output matches
+stepping the single-chip engine frame by frame — pinned bit-identical on
+CPU meshes by tests/test_parallel.py. (On compiled TPU the scan/map
+wrapping gives XLA a different fusion context than the fused per-frame
+program, and this repo has measured that CPU bit-identity does not
+guarantee compiled-TPU bit-identity — quantize-boundary pixels may flip
+by one ulp, far inside the 2e-3 parity gates; see the planar-epilogue
+entry in docs/PERFORMANCE.md.) There are no collectives in the render
+loop at all; the only cross-device traffic is the output gather at
+readback.
 
 Expected scaling on real multi-chip hardware is ~linear in devices — the
 per-frame render has no cross-frame dependency and the ~5 KB scene and
@@ -37,9 +43,18 @@ AXIS = "frames"
 
 
 def make_frames_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D device mesh over the scripted-animation frame axis."""
+    """1-D device mesh over the scripted-animation frame axis.
+
+    Fails fast when fewer devices exist than requested — a silent clamp
+    would desynchronize callers that size their frame batches by the
+    REQUESTED count (the CLI's --dp loop) from the mesh that actually
+    renders them, surfacing later as a confusing divisibility error.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(f"frame DP over {n_devices} devices requested "
+                             f"but only {len(devices)} available")
         devices = devices[:n_devices]
     return Mesh(devices, (AXIS,))
 
@@ -67,8 +82,9 @@ def render_script_dp(scene: Scene, state: FrameState, sky_pack,
     textures.sky_static_init, replicated on every device.
 
     Returns (imgs (K, H, W, 3) uint8 sharded on the frame axis,
-    last_state). Frame k's image is bit-identical to the k-th
-    Engine.step_and_frame from the same initial state.
+    last_state). Frame k's image matches the k-th Engine.step_and_frame
+    from the same initial state (bit-identical on CPU meshes; within the
+    parity gates on compiled TPU — see the module docstring).
     """
     from raytracing_cuda_tpu.render.pipeline import render_frame_static_sky
     from raytracing_cuda_tpu.sim.actions import Action

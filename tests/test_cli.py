@@ -49,7 +49,7 @@ def test_record_dp_batches_and_tail(tmp_path, monkeypatch):
     out = str(tmp_path / "frames")
     assert main(["record", out, "--frames", "10", "--dp", "4",
                  "--size", "128x64", "--sky", "procedural",
-                 "--sky-shape", "32x64", "--path", "pallas_interpret"]) == 0
+                 "--sky-shape", "64x32", "--path", "pallas_interpret"]) == 0
 
     # one 8-frame DP dispatch (dp*4 batch cap, clipped to the divisible 8),
     # then two sequential tail frames
@@ -64,4 +64,18 @@ def test_record_dp_requires_pallas_static_sky(tmp_path):
     with pytest.raises(ValueError, match="static-sky"):
         main(["record", str(tmp_path / "x"), "--frames", "4", "--dp", "4",
               "--size", "128x64", "--sky", "procedural",
-              "--sky-shape", "32x64", "--path", "fast"])
+              "--sky-shape", "64x32", "--path", "fast"])
+
+
+def test_malformed_size_is_a_usage_error(tmp_path):
+    for flag, val in (("--size", "1280"), ("--sky-shape", "x64")):
+        with pytest.raises(SystemExit, match="WxH"):
+            main(["render", str(tmp_path / "x.png"), flag, val,
+                  "--sky", "procedural", "--path", "fast"])
+
+
+def test_frames_mesh_rejects_oversubscription():
+    from raytracing_cuda_tpu.parallel.frames import make_frames_mesh
+
+    with pytest.raises(ValueError, match="available"):
+        make_frames_mesh(1000)
