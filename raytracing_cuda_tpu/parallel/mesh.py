@@ -65,74 +65,19 @@ def _resolve_grouped(sky_mode: str, sh: int, sw: int, path: str,
     return sky_mode == "auto" and aligned and grouped_sky_ok(sh, sw)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "height", "width", "chunk", "aspect",
-                     "fxaa_static", "path", "tri_clusters", "sph_clusters",
-                     "sky_mode", "interleave", "t_subs"),
-)
-def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
-                         mesh: Mesh, height: int, width: int,
-                         chunk: int = 32768, aspect: float | None = None,
-                         fxaa_static: bool | None = None,
-                         path: str = "fast",
-                         tri_clusters: tuple | None = None,
-                         sph_clusters: tuple | None = None,
-                         sky_mode: str = "auto",
-                         sky_pack=None, interleave: int = 1,
-                         t_subs: tuple | None = None):
-    """Row-sharded render of one frame → (height, width, 3) uint8.
+def band_shard_fn(*, path, sub, width, n, interleave, height, sky_grouped,
+                  sh, sw, tri_clusters, sph_clusters, t_subs, chunk):
+    """The per-device row-band render body, as a function of one frame's
+    arrays: (scene_f, lights, ambient, packed, rays, day_frac, aa,
+    sky_vars) → (interleave*sub, width, 3) uint8 local rows.
 
-    Output matches render_frame exactly: rays are generated from global row
-    coordinates and FXAA sees true neighbor rows through an ICI halo
-    exchange instead of band-local padding.
-
-    Pallas paths require sky_pack (the static stack from
-    textures.sky_static_init, replicated on every device); non-Pallas paths
-    blend the panoramas per frame from sky_texels like render_frame.
-
-    interleave = k > 1 assigns each device k STRIDED sub-bands (device d
-    renders row chunks d, d+n, d+2n, …) instead of one contiguous band.
-    Contiguous bands have skewed work — top rows are sky-cheap, bottom rows
-    hit water reflections — so striding balances the per-device load; the
-    cost is k kernel launches per device (inside one program) and 2k halo
-    rows instead of 2. Bit-identical output by construction (pinned by
-    tests/test_parallel.py). On the CPU test mesh there is no timing signal;
-    on real multi-chip hardware the expected win is the gap between the
-    heaviest and mean band (the 2000-frame soak saw 2.4x content spread
-    across the frame — docs/PERFORMANCE.md).
+    Must run inside a shard_map whose mesh has a '{AXIS}' axis of size n —
+    either the 1-D row mesh (render_frame_sharded) or the 2-D
+    (frames, rows) hybrid mesh (parallel/frames.py), where it is mapped
+    over each device's local frames; its only collectives (the FXAA halo
+    ppermutes) name the row axis, so the frame axis composes freely
+    around it.
     """
-    n = mesh.shape[AXIS]
-    if interleave < 1:
-        raise ValueError(f"interleave must be >= 1, got {interleave}")
-    if height % (n * interleave):
-        raise ValueError(f"height {height} not divisible by mesh size {n} "
-                         f"x interleave {interleave}")
-    band = height // n
-    sub = band // interleave        # rows per strided chunk
-    if aspect is None:
-        aspect = width / height
-
-    scene_f, lights, ambient = derive_frame(scene, state)
-    rays = camera_rays(state.cam, aspect)
-    day_frac = state.day_time / 24.0
-    aa = state.aa if fxaa_static is None else jnp.bool_(fxaa_static)
-
-    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
-    # group alignment applies per strided chunk (the band when interleave=1)
-    sky_grouped = _resolve_grouped(sky_mode, sh, sw, path, sub, width)
-    if path.startswith("pallas"):
-        if sky_pack is None:
-            raise ValueError("pallas paths need sky_pack "
-                             "(textures.sky_static_init)")
-        if sky_grouped != (sky_pack.ndim == 3):
-            raise ValueError(
-                f"sky_pack rank {sky_pack.ndim} does not match the "
-                f"{'grouped' if sky_grouped else 'flat'} resolve — build it "
-                f"with sky_static_init(texels, grouped={sky_grouped})")
-        packed = sky_pack
-    else:
-        packed = blend_sky(sky_texels, state.sky_vars)
 
     def shard_fn(scene_f, lights, ambient, packed, rays, day_frac, aa,
                  sky_vars):
@@ -213,6 +158,94 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
         return jax.lax.cond(aa, aa_chunks, no_aa,
                             (bases, halo_top, halo_bot))
 
+    return shard_fn
+
+
+def uninterleave_rows(img, n: int, interleave: int, sub: int, width: int):
+    """Undo the strided-band shard order: shard output row-major order is
+    (device d, slot j) = global chunk d + j*n; the global image wants
+    chunks in order c = 0, 1, …"""
+    if interleave == 1:
+        return img
+    return (img.reshape(n, interleave, sub, width, 3)
+            .swapaxes(0, 1).reshape(n * interleave * sub, width, 3))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "height", "width", "chunk", "aspect",
+                     "fxaa_static", "path", "tri_clusters", "sph_clusters",
+                     "sky_mode", "interleave", "t_subs"),
+)
+def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
+                         mesh: Mesh, height: int, width: int,
+                         chunk: int = 32768, aspect: float | None = None,
+                         fxaa_static: bool | None = None,
+                         path: str = "fast",
+                         tri_clusters: tuple | None = None,
+                         sph_clusters: tuple | None = None,
+                         sky_mode: str = "auto",
+                         sky_pack=None, interleave: int = 1,
+                         t_subs: tuple | None = None):
+    """Row-sharded render of one frame → (height, width, 3) uint8.
+
+    Output matches render_frame exactly: rays are generated from global row
+    coordinates and FXAA sees true neighbor rows through an ICI halo
+    exchange instead of band-local padding.
+
+    Pallas paths require sky_pack (the static stack from
+    textures.sky_static_init, replicated on every device); non-Pallas paths
+    blend the panoramas per frame from sky_texels like render_frame.
+
+    interleave = k > 1 assigns each device k STRIDED sub-bands (device d
+    renders row chunks d, d+n, d+2n, …) instead of one contiguous band.
+    Contiguous bands have skewed work — top rows are sky-cheap, bottom rows
+    hit water reflections — so striding balances the per-device load; the
+    cost is k kernel launches per device (inside one program) and 2k halo
+    rows instead of 2. Bit-identical output by construction (pinned by
+    tests/test_parallel.py). On the CPU test mesh there is no timing signal;
+    on real multi-chip hardware the expected win is the gap between the
+    heaviest and mean band (the 2000-frame soak saw 2.4x content spread
+    across the frame — docs/PERFORMANCE.md).
+    """
+    n = mesh.shape[AXIS]
+    if interleave < 1:
+        raise ValueError(f"interleave must be >= 1, got {interleave}")
+    if height % (n * interleave):
+        raise ValueError(f"height {height} not divisible by mesh size {n} "
+                         f"x interleave {interleave}")
+    band = height // n
+    sub = band // interleave        # rows per strided chunk
+    if aspect is None:
+        aspect = width / height
+
+    scene_f, lights, ambient = derive_frame(scene, state)
+    rays = camera_rays(state.cam, aspect)
+    day_frac = state.day_time / 24.0
+    aa = state.aa if fxaa_static is None else jnp.bool_(fxaa_static)
+
+    sh, sw = sky_texels.shape[1], sky_texels.shape[2]
+    # group alignment applies per strided chunk (the band when interleave=1)
+    sky_grouped = _resolve_grouped(sky_mode, sh, sw, path, sub, width)
+    if path.startswith("pallas"):
+        if sky_pack is None:
+            raise ValueError("pallas paths need sky_pack "
+                             "(textures.sky_static_init)")
+        if sky_grouped != (sky_pack.ndim == 3):
+            raise ValueError(
+                f"sky_pack rank {sky_pack.ndim} does not match the "
+                f"{'grouped' if sky_grouped else 'flat'} resolve — build it "
+                f"with sky_static_init(texels, grouped={sky_grouped})")
+        packed = sky_pack
+    else:
+        packed = blend_sky(sky_texels, state.sky_vars)
+
+    shard_fn = band_shard_fn(
+        path=path, sub=sub, width=width, n=n, interleave=interleave,
+        height=height, sky_grouped=sky_grouped, sh=sh, sw=sw,
+        tri_clusters=tri_clusters, sph_clusters=sph_clusters,
+        t_subs=t_subs, chunk=chunk)
+
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -225,9 +258,4 @@ def render_frame_sharded(scene: Scene, state: FrameState, sky_texels, *,
     )
     img = fn(scene_f, lights, ambient, packed, rays, day_frac, aa,
              state.sky_vars)
-    if interleave == 1:
-        return img
-    # un-interleave: shard output row-major order is (device d, slot j) =
-    # global chunk d + j*n; the global image wants chunks in order c = 0…
-    return (img.reshape(n, interleave, sub, width, 3)
-            .swapaxes(0, 1).reshape(height, width, 3))
+    return uninterleave_rows(img, n, interleave, sub, width)

@@ -334,3 +334,23 @@ def test_render_script_dp_matches_engine_frames():
         render_script_dp(eng.scene, st0, eng._sky_pack, avs[:6],
                          mesh=make_frames_mesh(4), sky_h=sh, sky_w=sw,
                          height=64, width=128, interpret=True)
+
+    # hybrid 2-D (frames, rows) composition: frame DP around the row-
+    # sharded band renderer in one program — still bit-identical. (2, 4)
+    # covers contiguous bands; (4, 2) with interleave=2 covers strided
+    # sub-bands (the slot-shifted wrap halos) under the frame axis.
+    from raytracing_cuda_tpu.parallel.frames import (make_hybrid_mesh,
+                                                     render_script_hybrid)
+
+    for nf, nr, il in ((2, 4, 1), (4, 2, 2)):
+        imgs, last = render_script_hybrid(
+            eng.scene, st0, eng._sky_pack, avs,
+            mesh=make_hybrid_mesh(nf, nr), sky_h=sh, sky_w=sw,
+            height=64, width=128, tri_clusters=eng.tri_clusters,
+            sph_clusters=eng.sph_clusters, interpret=True,
+            t_subs=eng.tri_subs, interleave=il)
+        assert np.array_equal(np.asarray(imgs), seq), (nf, nr, il)
+        assert np.allclose(float(last.day_time), float(eng.state.day_time))
+
+    with pytest.raises(ValueError, match="devices"):
+        make_hybrid_mesh(8, 2)
