@@ -78,6 +78,10 @@ def main(argv=None):
                          "gates, ~linear offline throughput on real "
                          "multi-chip hardware; needs the pallas "
                          "static-sky path)")
+    ap.add_argument("--dp-rows", type=int, default=1,
+                    help="record: with --dp N, also row-shard each frame "
+                         "across R devices (2-D N x R hybrid mesh, N frame "
+                         "groups of R row-sharded devices)")
     ap.add_argument("--preview", type=int, default=1,
                     help="window: render full-res but read back a 1/N-size "
                          "on-device downsample and upscale in the blit "
@@ -182,7 +186,8 @@ def main(argv=None):
                 while k and args.frames - i >= k:
                     vecs = np.stack([scripted(i + j).pack(1 / 30)
                                      for j in range(k)])
-                    imgs = np.asarray(eng.render_script_dp(vecs, args.dp))
+                    imgs = np.asarray(eng.render_script_dp(
+                        vecs, args.dp, n_rows=args.dp_rows))
                     for j in range(k):
                         write(imgs[j],
                               os.path.join(out_dir, f"{i + j:04d}.png"))

@@ -271,7 +271,7 @@ class Engine:
         return imgs
 
     def render_script_dp(self, action_vecs, n_devices: int | None = None,
-                         dt: float = 1 / 60):
+                         dt: float = 1 / 60, n_rows: int = 1):
         """Offline frame-data-parallel batch → (K, H, W, 3) uint8.
 
         Shards the K frames of a scripted animation across the devices
@@ -280,28 +280,45 @@ class Engine:
         (bit-identical on CPU, within parity gates on compiled TPU) and
         advances self.state past all K frames. Requires the pallas
         static-sky single-chip configuration (the per-frame program frame
-        DP fans out) and K divisible by the device count. dt applies only
-        when action_vecs is a list of Actions (pre-packed (K, 16) vectors
+        DP fans out) and K divisible by the frame-axis device count.
+
+        n_rows > 1 selects the 2-D (frames, rows) hybrid mesh: n_devices
+        frame groups x n_rows row-sharded devices each (n_devices then
+        counts frame GROUPS, not total devices), with the config's
+        shard_interleave striding the bands. dt applies only when
+        action_vecs is a list of Actions (pre-packed (K, 16) vectors
         carry their own dt, like step_and_frame_batch).
         """
         from raytracing_cuda_tpu.parallel import frames as F
 
         if self.mesh is not None:
             raise ValueError("frame DP and row sharding are alternative "
-                             "layouts; build the Engine with sharded=False")
+                             "layouts; build the Engine with sharded=False "
+                             "(n_rows>1 composes them on a 2-D mesh)")
         if not (self.path.startswith("pallas") and self._sky_pack.size):
             raise ValueError("render_script_dp needs the pallas static-sky "
                              "path (config path='pallas', sky_cache=True)")
         if isinstance(action_vecs, (list, tuple)):
             action_vecs = np.stack([a.pack(dt) for a in action_vecs])
         sh, sw = self.sky_texels.shape[1], self.sky_texels.shape[2]
-        imgs, self.state = F.render_script_dp(
-            self.scene, self.state, self._sky_pack, jnp.asarray(action_vecs),
-            mesh=F.make_frames_mesh(n_devices), sky_h=sh, sky_w=sw,
-            height=self.config.height, width=self.config.width,
-            aspect=self.config.aspect,
+        common = dict(
+            sky_h=sh, sky_w=sw, height=self.config.height,
+            width=self.config.width, aspect=self.config.aspect,
             tri_clusters=self.tri_clusters, sph_clusters=self.sph_clusters,
             interpret=self.path == "pallas_interpret", t_subs=self.tri_subs)
+        if n_rows > 1:
+            if n_devices is None:
+                n_devices = len(jax.devices()) // n_rows
+            imgs, self.state = F.render_script_hybrid(
+                self.scene, self.state, self._sky_pack,
+                jnp.asarray(action_vecs),
+                mesh=F.make_hybrid_mesh(n_devices, n_rows),
+                interleave=self.config.shard_interleave, **common)
+        else:
+            imgs, self.state = F.render_script_dp(
+                self.scene, self.state, self._sky_pack,
+                jnp.asarray(action_vecs),
+                mesh=F.make_frames_mesh(n_devices), **common)
         return imgs
 
     def resized(self, width: int, height: int) -> "Engine":

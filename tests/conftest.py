@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# Deregister the remote-TPU backend factory outright (sitecustomize has
+# already registered it). jax_platforms="cpu" alone does NOT stop
+# backends() from creating the axon client — so when the remote tunnel
+# wedges, every Engine construction (its first device_put) hangs and the
+# whole CPU-only suite deadlocks. Tests must never depend on tunnel
+# health; with the factory gone, jax is pure-CPU no matter what.
+from jax._src import xla_bridge as _xb
+
+_xb._backend_factories.pop("axon", None)
+
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np

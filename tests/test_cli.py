@@ -19,6 +19,17 @@ from PIL import Image
 from raytracing_cuda_tpu.__main__ import main
 
 
+@pytest.fixture(autouse=True)
+def _cpu_only(monkeypatch):
+    """main() re-applies the env's JAX_PLATFORMS (the CLI contract: honor
+    an explicit user platform choice that sitecustomize consumed). This
+    harness environment exports JAX_PLATFORMS=axon — the remote tunnel —
+    which would flip the config back and run CLI tests against live
+    remote hardware (and hang the suite whenever the tunnel wedges).
+    Scrub it so conftest's CPU forcing stands."""
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+
+
 def _tag_img(i):
     img = np.zeros((64, 128, 3), np.uint8)
     img[0, 0, 0] = i
@@ -33,8 +44,8 @@ def test_record_dp_batches_and_tail(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_dp(self, vecs, n):
-        assert len(vecs) % n == 0
+    def fake_dp(self, vecs, n, n_rows=1):
+        assert len(vecs) % n == 0 and n_rows == 1
         calls.append(("dp", len(vecs), n))
         start = sum(c[1] for c in calls[:-1])
         return np.stack([_tag_img(start + j) for j in range(len(vecs))])
