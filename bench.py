@@ -319,6 +319,27 @@ def main():
                          "probe's day 17.6 / yaw 315)")
     args = ap.parse_args()
 
+    # Backend watchdog: the remote tunnel can wedge outright (axon client
+    # creation blocks forever — observed 2026-08-17, >1 h). A bench that
+    # hangs is worse than one that fails: bound the first backend touch
+    # and exit with a diagnostic instead.
+    import threading
+
+    _ready = threading.Event()
+    _dev = []
+    threading.Thread(
+        target=lambda: (_dev.extend(jax.devices()), _ready.set()),
+        daemon=True).start()
+    if not _ready.wait(float(os.environ.get("BENCH_BACKEND_TIMEOUT", 300))):
+        log("FATAL: jax.devices() did not return within the backend "
+            "timeout — the remote TPU tunnel is wedged (see CLAUDE.md). "
+            "Retry later or run with JAX_PLATFORMS=cpu for a smoke.")
+        print(json.dumps({"metric": "error", "value": 0, "unit": "none",
+                          "vs_baseline": 0,
+                          "error": "backend wedged (devices() timeout)"}))
+        sys.exit(1)
+    log(f"backend: {_dev}")
+
     if args.tune:
         tune(args)
         return
