@@ -78,6 +78,11 @@ def main(argv=None):
                          "gates, ~linear offline throughput on real "
                          "multi-chip hardware; needs the pallas "
                          "static-sky path)")
+    ap.add_argument("--resume", action="store_true",
+                    help="record: skip frames already on disk (contiguous "
+                         "prefix) and fast-forward the state machine past "
+                         "them in one scanned dispatch — restartable "
+                         "long renders (e.g. after a remote-link outage)")
     ap.add_argument("--dp-rows", type=int, default=1,
                     help="record: with --dp N, also row-shard each frame "
                          "across R devices (2-D N x R hybrid mesh, N frame "
@@ -172,8 +177,21 @@ def main(argv=None):
                 mouse_dx=np.float32(3.0 * np.sin(i * 0.05)),
                 time_control=np.int32(1))
 
+        start = 0
+        if args.resume:
+            while (start < args.frames and os.path.exists(
+                    os.path.join(out_dir, f"{start:04d}.png"))):
+                start += 1
+            if start:
+                # replay the skipped script through the state machine only
+                # (one scanned dispatch) so frame `start` sees exactly the
+                # state a fresh run would have given it
+                eng.fast_forward([scripted(i) for i in range(start)], 1 / 30)
+                print(f"resume: {start} frames already in {out_dir}, "
+                      f"state fast-forwarded", file=sys.stderr)
+
         def emit_all(write):
-            i = 0
+            i = start
             if args.dp > 1:
                 # frame-DP batches: a few frames per device per dispatch
                 # amortizes host costs. The batch size is fixed ONCE so
@@ -182,7 +200,8 @@ def main(argv=None):
                 # on the remote toolchain — to save a handful of cheap
                 # single-frame steps); the sub-batch remainder falls
                 # through to the sequential loop below
-                k = min(args.dp * 4, args.frames // args.dp * args.dp)
+                k = min(args.dp * 4,
+                        (args.frames - start) // args.dp * args.dp)
                 while k and args.frames - i >= k:
                     vecs = np.stack([scripted(i + j).pack(1 / 30)
                                      for j in range(k)])
@@ -201,9 +220,10 @@ def main(argv=None):
                 emit_all(w.submit)
                 w.drain()
                 written = w.written
-            if written != args.frames:
-                print(f"ERROR: only {written}/{args.frames} frames written "
-                      f"(disk full or {out_dir} unwritable?)", file=sys.stderr)
+            if written != args.frames - start:
+                print(f"ERROR: only {written}/{args.frames - start} frames "
+                      f"written (disk full or {out_dir} unwritable?)",
+                      file=sys.stderr)
                 return 1
         else:
             emit_all(frameio.write_png)

@@ -238,6 +238,24 @@ class Engine:
                                    jnp.float32(dt))
         return self.state
 
+    def fast_forward(self, action_vecs, dt: float = 1 / 30):
+        """Advance the state machine past a batch of actions WITHOUT
+        rendering — one scanned dispatch, so replaying thousands of
+        scripted frames (record --resume) costs milliseconds, not a
+        render each. action_vecs: (K, 16) packed vectors or a list of
+        Actions (packed with dt)."""
+        if isinstance(action_vecs, (list, tuple)):
+            action_vecs = np.stack([a.pack(dt) for a in action_vecs])
+
+        def body(st, av):
+            return sim.animate(st, Action.unpack(av),
+                               Action.unpack_dt(av)), None
+
+        self.state = jax.jit(
+            lambda st, avs: jax.lax.scan(body, st, avs)[0]
+        )(self.state, jnp.asarray(action_vecs))
+        return self.state
+
     def step_and_frame(self, action: Action | None = None, dt: float = 1 / 60):
         """Fused step+render: a single jitted dispatch per frame."""
         self.state, img = self._step_render(

@@ -71,11 +71,75 @@ def test_record_dp_batches_and_tail(tmp_path, monkeypatch):
         assert img[0, 0, 0] == i, i
 
 
+def test_record_resume_skips_prefix_and_fast_forwards(tmp_path, monkeypatch):
+    """--resume: the contiguous on-disk prefix is skipped, the state
+    machine is fast-forwarded past exactly those frames (one scanned
+    dispatch), and only the missing tail is rendered."""
+    from raytracing_cuda_tpu.app import loop as loop_mod
+
+    out = tmp_path / "frames"
+    out.mkdir()
+    for i in range(4):
+        Image.fromarray(_tag_img(i)).save(out / f"{i:04d}.png")
+    # a gap later must NOT extend the skip (only the contiguous prefix is
+    # trusted — frame 6 exists but 4-5 don't, so rendering restarts at 4)
+    Image.fromarray(_tag_img(6)).save(out / "0006.png")
+
+    ff, rendered = [], []
+
+    def fake_ff(self, actions, dt=1 / 30):
+        ff.append(len(actions))
+        return self.state
+
+    def fake_step(self, action, dt):
+        rendered.append(len(rendered))
+        return _tag_img(100 + rendered[-1])
+
+    monkeypatch.setattr(loop_mod.Engine, "fast_forward", fake_ff)
+    monkeypatch.setattr(loop_mod.Engine, "step_and_frame", fake_step)
+
+    assert main(["record", str(out), "--frames", "8", "--resume",
+                 "--size", "128x64", "--sky", "procedural",
+                 "--sky-shape", "64x32", "--path", "pallas_interpret"]) == 0
+
+    assert ff == [4] and len(rendered) == 4
+    for i, tag in [(0, 0), (3, 3), (4, 100), (7, 103)]:
+        img = np.asarray(
+            Image.open(out / f"{i:04d}.png").convert("RGB"))
+        assert img[0, 0, 0] == tag, i
+
+
 def test_record_dp_requires_pallas_static_sky(tmp_path):
     with pytest.raises(ValueError, match="static-sky"):
         main(["record", str(tmp_path / "x"), "--frames", "4", "--dp", "4",
               "--size", "128x64", "--sky", "procedural",
               "--sky-shape", "64x32", "--path", "fast"])
+
+
+def test_fast_forward_matches_stepping():
+    """Engine.fast_forward (one scanned dispatch) must land on exactly the
+    state that stepping frame by frame reaches — the resume contract."""
+    from raytracing_cuda_tpu.app.loop import Engine
+    from raytracing_cuda_tpu.sim.actions import Action
+    from raytracing_cuda_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=128, height=64, sky_source="procedural",
+                       procedural_sky_shape=(32, 64), path="fast")
+    acts = [Action.idle()._replace(
+        mouse_dx=np.float32(2.0 * i), time_control=np.int32(1))
+        for i in range(6)]
+
+    a, b = Engine(cfg), Engine(cfg)
+    for act in acts:
+        a.step(act, 1 / 30)
+    b.fast_forward(acts, 1 / 30)
+    import jax
+
+    la = jax.tree_util.tree_leaves(a.state)
+    lb = jax.tree_util.tree_leaves(b.state)
+    assert len(la) == len(lb)
+    for leaf_a, leaf_b in zip(la, lb):
+        assert np.array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
 
 
 def test_malformed_size_is_a_usage_error(tmp_path):
