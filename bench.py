@@ -326,10 +326,17 @@ def main():
     import threading
 
     _ready = threading.Event()
-    _dev = []
-    threading.Thread(
-        target=lambda: (_dev.extend(jax.devices()), _ready.set()),
-        daemon=True).start()
+    _dev, _err = [], []
+
+    def _probe():
+        try:
+            _dev.extend(jax.devices())
+        except Exception as e:        # fast failure ≠ wedge: report it now
+            _err.append(e)
+        finally:
+            _ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
     if not _ready.wait(float(os.environ.get("BENCH_BACKEND_TIMEOUT", 300))):
         log("FATAL: jax.devices() did not return within the backend "
             "timeout — the remote TPU tunnel is wedged (see CLAUDE.md). "
@@ -337,6 +344,12 @@ def main():
         print(json.dumps({"metric": "error", "value": 0, "unit": "none",
                           "vs_baseline": 0,
                           "error": "backend wedged (devices() timeout)"}))
+        sys.exit(1)
+    if _err:
+        log(f"FATAL: backend initialization failed: {_err[0]!r}")
+        print(json.dumps({"metric": "error", "value": 0, "unit": "none",
+                          "vs_baseline": 0,
+                          "error": f"backend init failed: {_err[0]}"}))
         sys.exit(1)
     log(f"backend: {_dev}")
 

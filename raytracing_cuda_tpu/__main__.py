@@ -182,6 +182,10 @@ def main(argv=None):
             while (start < args.frames and os.path.exists(
                     os.path.join(out_dir, f"{start:04d}.png"))):
                 start += 1
+            # the LAST prefix frame may be truncated by the very crash
+            # --resume recovers from (frameio writes are not atomic) —
+            # always re-render it rather than trust it
+            start = max(start - 1, 0)
             if start:
                 # replay the skipped script through the state machine only
                 # (one scanned dispatch) so frame `start` sees exactly the
@@ -192,7 +196,10 @@ def main(argv=None):
 
         def emit_all(write):
             i = start
-            if args.dp > 1:
+            if args.dp > 1 or args.dp_rows > 1:
+                # --dp-rows alone still goes through the batched path (a
+                # 1 x R hybrid mesh row-shards each frame) — it must not
+                # silently degrade to single-chip sequential rendering
                 # frame-DP batches: a few frames per device per dispatch
                 # amortizes host costs. The batch size is fixed ONCE so
                 # every DP dispatch shares one compiled shape (a smaller

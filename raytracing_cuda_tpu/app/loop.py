@@ -97,6 +97,15 @@ class Engine:
         self.sph_clusters = SPH_CLUSTERS.get(self.config.scene)
         self.tri_subs = TRI_SUBS.get(self.config.scene)
         self._animate = jax.jit(sim.animate)
+
+        def _ff_scan(st, avs):
+            def body(st, av):
+                return sim.animate(st, Action.unpack(av),
+                                   Action.unpack_dt(av)), None
+
+            return jax.lax.scan(body, st, avs)[0]
+
+        self._fast_forward = jax.jit(_ff_scan)
         c = self.config
         path = self.path
         mesh = self.mesh if (self.mesh is not None and self.mesh.size > 1) else None
@@ -246,14 +255,7 @@ class Engine:
         Actions (packed with dt)."""
         if isinstance(action_vecs, (list, tuple)):
             action_vecs = np.stack([a.pack(dt) for a in action_vecs])
-
-        def body(st, av):
-            return sim.animate(st, Action.unpack(av),
-                               Action.unpack_dt(av)), None
-
-        self.state = jax.jit(
-            lambda st, avs: jax.lax.scan(body, st, avs)[0]
-        )(self.state, jnp.asarray(action_vecs))
+        self.state = self._fast_forward(self.state, jnp.asarray(action_vecs))
         return self.state
 
     def step_and_frame(self, action: Action | None = None, dt: float = 1 / 60):
@@ -326,12 +328,19 @@ class Engine:
             interpret=self.path == "pallas_interpret", t_subs=self.tri_subs)
         if n_rows > 1:
             if n_devices is None:
-                n_devices = len(jax.devices()) // n_rows
+                n_devices = max(len(jax.devices()) // n_rows, 1)
             imgs, self.state = F.render_script_hybrid(
                 self.scene, self.state, self._sky_pack,
                 jnp.asarray(action_vecs),
                 mesh=F.make_hybrid_mesh(n_devices, n_rows),
-                interleave=self.config.shard_interleave, **common)
+                interleave=self.config.shard_interleave,
+                # forward THIS engine's resolve mode: the pack was built
+                # for it, and hybrid's own 'auto' decision (band-local
+                # alignment) can differ from the full-frame one — an
+                # explicit mode either matches the pack or fails with the
+                # alignment error, never a confusing rank mismatch
+                sky_mode="grouped" if self._sky_pack.ndim == 3 else "flat",
+                **common)
         else:
             imgs, self.state = F.render_script_dp(
                 self.scene, self.state, self._sky_pack,

@@ -138,6 +138,9 @@ def make_hybrid_mesh(n_frames: int, n_rows: int) -> Mesh:
 
     devices = jax.devices()
     need = n_frames * n_rows
+    if n_frames < 1 or n_rows < 1:
+        raise ValueError(f"hybrid mesh axes must be >= 1, got "
+                         f"{n_frames}x{n_rows}")
     if len(devices) < need:
         raise ValueError(f"hybrid mesh {n_frames}x{n_rows} needs {need} "
                          f"devices, have {len(devices)}")

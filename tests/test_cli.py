@@ -102,8 +102,10 @@ def test_record_resume_skips_prefix_and_fast_forwards(tmp_path, monkeypatch):
                  "--size", "128x64", "--sky", "procedural",
                  "--sky-shape", "64x32", "--path", "pallas_interpret"]) == 0
 
-    assert ff == [4] and len(rendered) == 4
-    for i, tag in [(0, 0), (3, 3), (4, 100), (7, 103)]:
+    # the last prefix frame (0003) is re-rendered — it may be truncated by
+    # the very crash --resume recovers from — so the skip is 3, not 4
+    assert ff == [3] and len(rendered) == 5
+    for i, tag in [(0, 0), (2, 2), (3, 100), (4, 101), (7, 104)]:
         img = np.asarray(
             Image.open(out / f"{i:04d}.png").convert("RGB"))
         assert img[0, 0, 0] == tag, i

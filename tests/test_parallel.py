@@ -354,3 +354,29 @@ def test_render_script_dp_matches_engine_frames():
 
     with pytest.raises(ValueError, match="devices"):
         make_hybrid_mesh(8, 2)
+
+    # Engine-level hybrid plumbing (render_script_dp n_rows>1): sky-mode
+    # forwarding, device-count default, interleave forwarding — the spots
+    # where pack/resolve mismatches would hide. Fresh engine so its state
+    # starts at st0; grouped pack engine first, then a FLAT sky_mode
+    # engine (the pack rank the hybrid's own 'auto' would NOT pick).
+    from raytracing_cuda_tpu.utils.config import RenderConfig as RC
+
+    for mode in ("auto", "flat"):
+        e2 = Engine(RC(width=128, height=64, sky_source="procedural",
+                       procedural_sky_shape=(32, 64), sky_mode=mode,
+                       path="pallas_interpret", chunk=2048,
+                       shard_interleave=2))
+        e2.set_state(st0)
+        imgs = np.asarray(e2.render_script_dp(avs[:4], 2, n_rows=2))
+        if mode == "auto":
+            ref = seq[:4]
+        else:
+            e3 = Engine(RC(width=128, height=64, sky_source="procedural",
+                           procedural_sky_shape=(32, 64), sky_mode=mode,
+                           path="pallas_interpret", chunk=2048))
+            e3.set_state(st0)
+            ref = np.stack([np.asarray(e3.step_and_frame(Action.idle(),
+                                                         1 / 30))
+                            for _ in range(4)])
+        assert np.array_equal(imgs, ref), mode
