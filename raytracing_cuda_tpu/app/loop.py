@@ -247,15 +247,31 @@ class Engine:
                                    jnp.float32(dt))
         return self.state
 
+    FF_CHUNK = 256
+
     def fast_forward(self, action_vecs, dt: float = 1 / 30):
         """Advance the state machine past a batch of actions WITHOUT
-        rendering — one scanned dispatch, so replaying thousands of
+        rendering — scanned dispatches, so replaying thousands of
         scripted frames (record --resume) costs milliseconds, not a
-        render each. action_vecs: (K, 16) packed vectors or a list of
-        Actions (packed with dt)."""
+        render each. Dispatched in fixed FF_CHUNK-sized scans plus
+        single-step remainders (Engine.run's remainder discipline): a
+        data-dependent scan length would compile a fresh program per
+        distinct prefix length on the minutes-slow remote toolchain,
+        while the two fixed shapes here stay warm in the compile cache.
+        action_vecs: (K, 16) packed vectors or a list of Actions (packed
+        with dt)."""
         if isinstance(action_vecs, (list, tuple)):
             action_vecs = np.stack([a.pack(dt) for a in action_vecs])
-        self.state = self._fast_forward(self.state, jnp.asarray(action_vecs))
+        action_vecs = jnp.asarray(action_vecs)
+        k, i = self.FF_CHUNK, 0
+        while action_vecs.shape[0] - i >= k:
+            self.state = self._fast_forward(self.state,
+                                            action_vecs[i:i + k])
+            i += k
+        for j in range(i, action_vecs.shape[0]):
+            av = action_vecs[j]
+            self.state = self._animate(self.state, Action.unpack(av),
+                                       Action.unpack_dt(av))
         return self.state
 
     def step_and_frame(self, action: Action | None = None, dt: float = 1 / 60):

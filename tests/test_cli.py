@@ -134,7 +134,8 @@ def test_fast_forward_matches_stepping():
     a, b = Engine(cfg), Engine(cfg)
     for act in acts:
         a.step(act, 1 / 30)
-    b.fast_forward(acts, 1 / 30)
+    b.FF_CHUNK = 4          # cover the fixed-chunk scan AND the
+    b.fast_forward(acts, 1 / 30)     # single-step remainder (6 = 4 + 2)
     import jax
 
     la = jax.tree_util.tree_leaves(a.state)
