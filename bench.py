@@ -319,6 +319,20 @@ def main():
                          "probe's day 17.6 / yaw 315)")
     args = ap.parse_args()
 
+    # sitecustomize consumes JAX_PLATFORMS at interpreter startup —
+    # re-apply an explicit user choice (same contract as the CLI), so
+    # `JAX_PLATFORMS=cpu python bench.py` really is a CPU smoke (and works
+    # during tunnel outages)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            if os.environ["JAX_PLATFORMS"] == "cpu":
+                from jax._src import xla_bridge as _xb
+
+                _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+
     # Backend watchdog: the remote tunnel can wedge outright (axon client
     # creation blocks forever — observed 2026-08-17, >1 h). A bench that
     # hangs is worse than one that fails: bound the first backend touch
