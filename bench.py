@@ -121,12 +121,17 @@ def _ensure_goldens(w, h):
         log(f"parity: generating {len(missing)} oracle goldens at {w}x{h} "
             f"on the CPU backend (one-time, minutes): {missing}")
         env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # bounded: the child deregisters the remote backend itself
+        # (apply_platform), but a hang here must not outlive the driver's
+        # patience — oracle renders at large sizes legitimately take
+        # minutes on CPU, hence the generous default
         subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tests", "gen_tpu_golden.py"),
              "--size", f"{w}x{h}"],
-            check=True, env=env)
+            check=True, env=env,
+            timeout=float(os.environ.get("GOLDEN_GEN_TIMEOUT", 1800)))
     return d
 
 
@@ -320,18 +325,13 @@ def main():
     args = ap.parse_args()
 
     # sitecustomize consumes JAX_PLATFORMS at interpreter startup —
-    # re-apply an explicit user choice (same contract as the CLI), so
-    # `JAX_PLATFORMS=cpu python bench.py` really is a CPU smoke (and works
-    # during tunnel outages)
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-            if os.environ["JAX_PLATFORMS"] == "cpu":
-                from jax._src import xla_bridge as _xb
+    # re-apply an explicit user choice (same helper as the CLI and the
+    # golden generator), so `JAX_PLATFORMS=cpu python bench.py` really is
+    # a CPU smoke (and works during tunnel outages: the helper also
+    # deregisters the remote backend factory when axon isn't requested)
+    from raytracing_cuda_tpu.utils.config import apply_env_platform
 
-                _xb._backend_factories.pop("axon", None)
-        except Exception:
-            pass
+    apply_env_platform()
 
     # Backend watchdog: the remote tunnel can wedge outright (axon client
     # creation blocks forever — observed 2026-08-17, >1 h). A bench that

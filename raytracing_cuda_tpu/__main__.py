@@ -81,7 +81,7 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="record: skip frames already on disk (contiguous "
                          "prefix) and fast-forward the state machine past "
-                         "them in one scanned dispatch — restartable "
+                         "them in a few scanned dispatches — restartable "
                          "long renders (e.g. after a remote-link outage)")
     ap.add_argument("--dp-rows", type=int, default=1,
                     help="record: with --dp N, also row-shard each frame "
@@ -98,14 +98,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # this environment's sitecustomize may import jax (consuming JAX_PLATFORMS)
-    # before we run; re-apply the user's platform choice if they set one
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    # before we run; re-apply the user's platform choice if they set one —
+    # and when that choice excludes the remote backend, deregister its
+    # factory so a wedged tunnel can't hang a CPU run (see apply_platform)
+    from raytracing_cuda_tpu.utils.config import apply_env_platform
 
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    apply_env_platform()
 
     if args.device is not None:
         import jax
@@ -188,8 +186,8 @@ def main(argv=None):
             start = max(start - 1, 0)
             if start:
                 # replay the skipped script through the state machine only
-                # (one scanned dispatch) so frame `start` sees exactly the
-                # state a fresh run would have given it
+                # (fixed-chunk scanned dispatches, no rendering) so frame
+                # `start` sees exactly the state a fresh run would give it
                 eng.fast_forward([scripted(i) for i in range(start)], 1 / 30)
                 print(f"resume: {start} frames already in {out_dir}, "
                       f"state fast-forwarded", file=sys.stderr)

@@ -258,11 +258,15 @@ class Engine:
         data-dependent scan length would compile a fresh program per
         distinct prefix length on the minutes-slow remote toolchain,
         while the two fixed shapes here stay warm in the compile cache.
+        The vectors stay NUMPY on the host so the remainder's unpack is
+        host-side slicing — each remainder frame is exactly one jitted
+        _animate dispatch (unpacking a device row eagerly would issue
+        ~27 tiny device ops per frame, seconds over the tunnel).
         action_vecs: (K, 16) packed vectors or a list of Actions (packed
         with dt)."""
         if isinstance(action_vecs, (list, tuple)):
             action_vecs = np.stack([a.pack(dt) for a in action_vecs])
-        action_vecs = jnp.asarray(action_vecs)
+        action_vecs = np.asarray(action_vecs)
         k, i = self.FF_CHUNK, 0
         while action_vecs.shape[0] - i >= k:
             self.state = self._fast_forward(self.state,

@@ -99,6 +99,44 @@ class RenderConfig:
         return "pallas" if backend in ("tpu", "axon") else "fast"
 
 
+def apply_platform(platform: str | None) -> None:
+    """Apply a platform choice AFTER sitecustomize consumed JAX_PLATFORMS.
+
+    This environment's sitecustomize imports jax at interpreter startup
+    (registering the remote-TPU 'axon' backend) — the env var is already
+    consumed by the time user code runs, so an explicit platform choice
+    must be re-applied via jax.config. Crucially, that config update alone
+    does NOT stop jax's backends() from instantiating the remote client,
+    whose creation blocks forever when the tunnel wedges (observed
+    2026-08-17, >2 h): when the requested platform list excludes 'axon',
+    its factory is deregistered outright (the tests/conftest.py recipe),
+    making the process immune to tunnel health. No-op for a falsy platform.
+    """
+    if not platform:
+        return
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+    if "axon" not in {p.strip() for p in platform.split(",")}:
+        try:
+            from jax._src import xla_bridge as _xb
+
+            _xb._backend_factories.pop("axon", None)
+        except Exception as e:  # private API drift — warn, don't hide it
+            print(f"warning: could not deregister the remote backend "
+                  f"factory ({e!r}); a wedged tunnel may still hang "
+                  f"backend init", file=sys.stderr)
+
+
+def apply_env_platform() -> None:
+    """Re-apply an explicit JAX_PLATFORMS env choice (see apply_platform)."""
+    import os
+
+    apply_platform(os.environ.get("JAX_PLATFORMS"))
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persist compiled executables across processes.
 

@@ -17,17 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-# Deregister the remote-TPU backend factory outright (sitecustomize has
-# already registered it). jax_platforms="cpu" alone does NOT stop
-# backends() from creating the axon client — so when the remote tunnel
-# wedges, every Engine construction (its first device_put) hangs and the
-# whole CPU-only suite deadlocks. Tests must never depend on tunnel
-# health; with the factory gone, jax is pure-CPU no matter what.
-from jax._src import xla_bridge as _xb
+# Force CPU AND deregister the remote-TPU backend factory outright
+# (sitecustomize has already registered it). jax_platforms="cpu" alone
+# does NOT stop backends() from creating the axon client — so when the
+# remote tunnel wedges, every Engine construction (its first device_put)
+# hangs and the whole CPU-only suite deadlocks. Tests must never depend
+# on tunnel health; with the factory gone, jax is pure-CPU no matter
+# what. (Shared recipe: utils.config.apply_platform — also used by the
+# CLI, bench.py, and the golden generator.)
+from raytracing_cuda_tpu.utils.config import apply_platform
 
-_xb._backend_factories.pop("axon", None)
-
-jax.config.update("jax_platforms", "cpu")
+apply_platform("cpu")
 
 import numpy as np
 import pytest

@@ -26,9 +26,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+from raytracing_cuda_tpu.utils.config import apply_platform
 
-jax.config.update("jax_platforms", "cpu")
+# force CPU *and* deregister the remote backend factory — the config update
+# alone would still let backends() create the (possibly wedged) axon client
+apply_platform("cpu")
 
 import numpy as np
 

@@ -119,8 +119,9 @@ def test_record_dp_requires_pallas_static_sky(tmp_path):
 
 
 def test_fast_forward_matches_stepping():
-    """Engine.fast_forward (one scanned dispatch) must land on exactly the
-    state that stepping frame by frame reaches — the resume contract."""
+    """Engine.fast_forward (fixed-chunk scans + single-step remainder)
+    must land on exactly the state that stepping frame by frame reaches —
+    the resume contract."""
     from raytracing_cuda_tpu.app.loop import Engine
     from raytracing_cuda_tpu.sim.actions import Action
     from raytracing_cuda_tpu.utils.config import RenderConfig
