@@ -480,7 +480,19 @@ def _sph_occ_partial(Csk, ox, oy, oz, dx, dy, dz, max_dist):
 
 
 def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
-                 total_w=None, t_bound=True, lane_split=1, t_subs=None):
+                 total_w=None, t_bound=True, lane_split=1, t_subs=None,
+                 ablate=()):
+    # `ablate`: static DIAGNOSTIC arms for cost decomposition
+    # (experiments/megakernel_ablation.py) — never used by render paths.
+    # "noshadow" = skip all occlusion sweeps (lights never blocked),
+    # "noshade"  = skip the shading/bounce epilogue entirely,
+    # "nocull"   = disable the interval culls (sweep every cluster),
+    # "depthN"   = cap the bounce depth at N (depth0 = primaries only).
+    # ablate=() compiles the exact shipped kernel.
+    maxd = MAX_DEPTH
+    for a in ablate:
+        if a.startswith("depth"):
+            maxd = int(a[5:])
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -642,8 +654,10 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                                      mx[None], my[None], mz[None])
                         return _local_reduce(Ctk, t_k)
 
+                    pred = any_live if "nocull" in ablate \
+                        else (any_live & poss)
                     candidates.append(jax.lax.cond(
-                        any_live & poss, sweep_k, group_skip, ray_args))
+                        pred, sweep_k, group_skip, ray_args))
 
                 for kk, Csk in enumerate(Cs_list):
                     poss = _cluster_possible(
@@ -655,8 +669,10 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                                      dx[None], dy[None], dz[None])
                         return _local_reduce(Csk, t_s)
 
+                    pred = any_live if "nocull" in ablate \
+                        else (any_live & poss)
                     candidates.append(jax.lax.cond(
-                        any_live & poss, sweep_s, group_skip, ray_args))
+                        pred, sweep_s, group_skip, ray_args))
 
                 # --- cross-group combine: lexicographic (t, gidx) winner ---
                 t_min = candidates[0][0]
@@ -753,7 +769,11 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                               if t_bound else None)
                     occ_f = jnp.zeros((TH, TWB), f32)
                     for kk, Ctk in enumerate(Ct_list):
+                        if "noshadow" in ablate:
+                            break
                         poss = tri_possible(kk, hbox, sdbox, t_hi_s)
+                        pred = any_need if "nocull" in ablate \
+                            else (any_need & poss)
 
                         def occ_k(args, Ctk=Ctk):
                             (sox, soy, soz, sdx, sdy, sdz,
@@ -764,15 +784,19 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                                 smx[None], smy[None], smz[None], sdist)
 
                         occ_f = occ_f + jax.lax.cond(
-                            any_need & poss, occ_k, zero2d, shadow_args)
+                            pred, occ_k, zero2d, shadow_args)
 
                     for kk, Csk in enumerate(Cs_list):
+                        if "noshadow" in ablate:
+                            break
                         if not s_occl[kk]:
                             continue    # emissive-only cluster (sun/moon
                         #                 proxies): statically shadow-inert
                         poss = _cluster_possible(
                             *cluster_bound(n_tri_bounds + kk), hbox, sdbox,
                             t_hi_s)
+                        pred = any_need if "nocull" in ablate \
+                            else (any_need & poss)
 
                         def occ_s(args, Csk=Csk):
                             (sox, soy, soz, sdx, sdy, sdz,
@@ -782,16 +806,17 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                                 sdx[None], sdy[None], sdz[None], sdist)
 
                         occ_f = occ_f + jax.lax.cond(
-                            any_need & poss, occ_s, zero2d, shadow_args)
+                            pred, occ_s, zero2d, shadow_args)
 
                     def occ_pl(args):
                         soy, sdy, sdist = args
                         return jnp.where(_plane_t(soy, sdy, sea_y) < sdist,
                                          1.0, 0.0)
 
-                    occ_f = occ_f + jax.lax.cond(
-                        any_need, occ_pl, zero2d,
-                        (bsl(soy, s), bsl(sdy, s), sdists))
+                    if "noshadow" not in ablate:
+                        occ_f = occ_f + jax.lax.cond(
+                            any_need, occ_pl, zero2d,
+                            (bsl(soy, s), bsl(sdy, s), sdists))
                     occ_bands.append(occ_f)
 
                 occ_f = (jnp.concatenate(occ_bands, axis=1)
@@ -869,12 +894,17 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
                         jnp.zeros((TH, TW), f32))
 
-            (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live) = jax.lax.cond(
-                jnp.max(live * hit_f) > 0, shade_fn, shade_skip,
+            shade_args = (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
+                          hx, hy, hz, nx, ny, nz, colr, colg, colb,
+                          shine, spec_e, kr, em_f, shaded_f, hit_f, live,
+                          angles[0], angles[1], *sdirs[0], *sdirs[1])
+            if "noshade" in ablate:     # static: the shade branch vanishes
                 (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
-                 hx, hy, hz, nx, ny, nz, colr, colg, colb,
-                 shine, spec_e, kr, em_f, shaded_f, hit_f, live,
-                 angles[0], angles[1], *sdirs[0], *sdirs[1]))
+                 live) = shade_skip(shade_args)
+            else:
+                (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
+                 live) = jax.lax.cond(jnp.max(live * hit_f) > 0,
+                                      shade_fn, shade_skip, shade_args)
             return (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba, live,
                     mw, mdx, mdy, mdz)
 
@@ -884,7 +914,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
         # combine/shadow-geometry overhead a fori_loop would pay
         def loop_cond(state):
             k, carry = state
-            return (k < MAX_DEPTH + 1) & (jnp.max(carry[10]) > 0)
+            return (k < maxd + 1) & (jnp.max(carry[10]) > 0)
 
         def loop_body(state):
             k, carry = state
@@ -907,7 +937,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "H", "W", "TH", "TW", "t_pads", "s_pads", "s_occl", "interpret",
-    "total_h", "total_w", "t_bound", "lane_split", "t_subs"))
+    "total_h", "total_w", "t_bound", "lane_split", "t_subs", "ablate"))
 def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           s_pads: tuple, s_occl: tuple,
                           TH: int = DEFAULT_TILE_H, TW: int = DEFAULT_TILE_W,
@@ -915,7 +945,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
                           total_h: int | None = None,
                           total_w: int | None = None,
                           t_bound: bool = True, lane_split: int = 1,
-                          t_subs: tuple | None = None):
+                          t_subs: tuple | None = None, ablate: tuple = ()):
     """Render a BATCH of frames in one launch.
 
     coefs (K, N_OBJ_PAD, 1, C), params (K, N_PARAMS) → 7 planes of
@@ -927,7 +957,7 @@ def raytrace_planes_batch(coefs, params, H: int, W: int, t_pads: tuple,
     out = jax.ShapeDtypeStruct((K, H, W), f32)
     tile = lambda f, i, j: (f, i, j)
     kernel = _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h,
-                          total_w, t_bound, lane_split, t_subs)
+                          total_w, t_bound, lane_split, t_subs, ablate)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -957,12 +987,13 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
                     interpret: bool = False,
                     total_h: int | None = None,
                     total_w: int | None = None, t_bound: bool = True,
-                    lane_split: int = 1, t_subs: tuple | None = None):
+                    lane_split: int = 1, t_subs: tuple | None = None,
+                    ablate: tuple = ()):
     """Single-frame megakernel run → 7 (H, W) f32 planes (K=1 batch)."""
     planes = raytrace_planes_batch(coef[None], params[None], H, W, t_pads,
                                    s_pads, s_occl, TH, TW, interpret,
                                    total_h, total_w, t_bound, lane_split,
-                                   t_subs)
+                                   t_subs, ablate)
     return tuple(p[0] for p in planes)
 
 
@@ -975,7 +1006,8 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               sph_clusters: tuple | None = None,
                               row0=0, total_height: int | None = None,
                               t_bound: bool = True, lane_split: int = 1,
-                              t_subs: tuple | None = None):
+                              t_subs: tuple | None = None,
+                              ablate: tuple = ()):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
 
     tri_clusters: optional static partition of the triangle list (contiguous
@@ -1029,7 +1061,7 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                              s_occl, tile_h, tile_w, interpret,
                              total_height if total_height is not None
                              else height, width, t_bound, lane_split,
-                             t_subs)
+                             t_subs, ablate)
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:height, :width] for p in planes)
     return planes

@@ -257,6 +257,41 @@ def test_pallas_t_bound_identical(scene, sky):
             assert np.array_equal(np.asarray(pa), np.asarray(pd))
 
 
+def test_ablation_arms_semantics(scene, sky):
+    """The diagnostic ablate arms (experiments/megakernel_ablation.py) keep
+    their meaning: nocull is BIT-IDENTICAL to the shipped kernel (interval
+    culls are conservative skips — this gates every cull at once), noshadow
+    only brightens hit-path radiance (occlusion can only remove diffuse/
+    specular terms) while leaving the miss planes untouched, and noshade
+    accumulates nothing (its hit-path planes are exactly zero)."""
+    from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    st = _state(**CASES[0])
+    scene_f, lights, ambient = sim.derive_frame(scene, st)
+    rays = sim.camera_rays(st.cam, W / H)
+    kw = dict(tri_clusters=ISLAND_TRI_CLUSTERS,
+              sph_clusters=ISLAND_SPH_CLUSTERS, interpret=True)
+    full = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                     **kw)
+    nocull = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                       ablate=("nocull",), **kw)
+    for pa, pb in zip(full, nocull):
+        assert np.array_equal(np.asarray(pa), np.asarray(pb))
+    nosh = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                     ablate=("noshadow",), **kw)
+    for c in range(3):                       # hit-path rgb only gains
+        assert (np.asarray(nosh[c]) >= np.asarray(full[c]) - 1e-6).all()
+    assert np.asarray(nosh[0]).max() > np.asarray(full[0]).max() - 1e-6
+    for c in range(3, 7):                    # miss planes identical
+        assert np.array_equal(np.asarray(nosh[c]), np.asarray(full[c]))
+    dark = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                     ablate=("noshade",), **kw)
+    for c in range(3):
+        assert not np.asarray(dark[c]).any()
+
+
 def test_t_subs_requires_tri_clusters(scene):
     """t_subs without tri_clusters (or with the wrong arity) would misalign
     the sphere-cluster bound slots in the params vector — must raise, not
