@@ -298,6 +298,114 @@ def tune(args):
     print(json.dumps(out))
 
 
+def tune_sky(args):
+    """Sky-resolve knob autotune — the resolve counterpart of --tune.
+
+    The grouped resolve's knobs (textures.SKY_SELECT / SKY_ANCHOR /
+    SKY_LAYOUT / SKY_PASSES) all have measured winners on THIS tunnel
+    (docs/PERFORMANCE.md); like the tile optimum, they may move on
+    dedicated silicon. Each candidate flips ONE knob from shipped and
+    times the full static-sky frame (kernel + resolve + FXAA) at a
+    pure-band AND an in-fade state (the extra gather + window blend only
+    exists inside fades), interleaved round-robin, ranked on the summed
+    medians. Knobs are read at trace time, so each candidate traces and
+    compiles inside its knob scope. Results land under the "sky" key of
+    autotune.json (the tile section is untouched).
+    """
+    import raytracing_cuda_tpu.scene.textures as tex
+    from raytracing_cuda_tpu.render.pipeline import render_frame_static_sky
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS,
+                                                    ISLAND_TRI_SUBS,
+                                                    build_scene)
+    from raytracing_cuda_tpu.scene.textures import load_skies, sky_static_init
+    from raytracing_cuda_tpu.utils.config import enable_compilation_cache
+    from raytracing_cuda_tpu.utils.timing import device_sync
+
+    enable_compilation_cache()
+    w, h = (int(v) for v in (args.size or "1280x720").lower().split("x"))
+    scene = jax.device_put(build_scene())
+    sky = load_skies(args.sky, downsample=args.sky_downsample)
+    texels = jax.device_put(jnp.asarray(sky.texels))
+    sh, sw = texels.shape[1], texels.shape[2]
+    stack = jax.jit(sky_static_init)(texels)
+    states = {"pure": preset_state(day=args.tune_day, yaw=args.tune_yaw),
+              "fade": preset_state(day=9.0, yaw=args.tune_yaw)}
+
+    CANDS = {
+        "shipped": {},
+        "select_onehot": {"SKY_SELECT": "onehot"},
+        "layout_flat": {"SKY_LAYOUT": "flat"},
+        "passes3": {"SKY_PASSES": 3},
+        "anchor_mean": {"SKY_ANCHOR": "mean"},
+        "anchor_minpix": {"SKY_ANCHOR": "minpix"},
+    }
+    kw = dict(tri_clusters=ISLAND_TRI_CLUSTERS,
+              sph_clusters=ISLAND_SPH_CLUSTERS, t_subs=ISLAND_TRI_SUBS,
+              # escape hatch for off-TPU smoke of the WHOLE flow (ranking,
+              # autotune.json); timings are meaningless in interpret mode
+              interpret=bool(os.environ.get("BENCH_TUNE_INTERPRET")))
+
+    fns = {}
+    for name, knobs in CANDS.items():
+        saved = {k: getattr(tex, k) for k in knobs}
+        for k, v in knobs.items():
+            setattr(tex, k, v)
+        log(f"tune-sky: compiling {name} ...")
+        try:
+            fn = jax.jit(lambda s: render_frame_static_sky(
+                scene, s, stack, sh, sw, h, w, **kw))
+            for s in states.values():
+                fn(s)                 # trace+compile INSIDE the knob scope
+            fns[name] = fn
+        except Exception as e:
+            log(f"tune-sky: {name} failed to compile/run: {e}")
+        finally:
+            for k, v in saved.items():
+                setattr(tex, k, v)
+
+    if not fns:
+        raise SystemExit("tune-sky: no candidate compiled and ran")
+
+    def block(fn, s, n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(s)
+        device_sync(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    for fn in fns.values():
+        for s in states.values():
+            block(fn, s, 2)           # warm
+    times = {n: {b: [] for b in states} for n in fns}
+    for r in range(args.tune_reps):
+        for name, fn in fns.items():  # round-robin: drift hits all equally
+            for band, s in states.items():
+                times[name][band].append(block(fn, s, args.tune_n))
+        log(f"tune-sky rep {r}: " + "  ".join(
+            f"{n}={times[n]['pure'][-1]:.2f}/{times[n]['fade'][-1]:.2f}"
+            for n in fns))
+    med = {n: {b: statistics.median(v) for b, v in bands.items()}
+           for n, bands in times.items()}
+    ranked = sorted(med, key=lambda n: med[n]["pure"] + med[n]["fade"])
+    log("tune-sky ranking (pure+fade ms): " + "  ".join(
+        f"{n}={med[n]['pure']:.2f}+{med[n]['fade']:.2f}" for n in ranked))
+
+    out = {"winner": ranked[0], "knobs": CANDS[ranked[0]],
+           "medians_ms": {n: {b: round(v, 3) for b, v in bands.items()}
+                          for n, bands in med.items()},
+           "size": f"{w}x{h}", "sky": f"{sh}x{sw}", "day": args.tune_day}
+    full = {}
+    if os.path.exists("autotune.json"):
+        with open("autotune.json") as f:
+            full = json.load(f)
+    full["sky"] = out
+    with open("autotune.json", "w") as f:
+        json.dump(full, f, indent=2)
+    print(json.dumps({"sky_tune": out}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small resolution smoke run")
@@ -322,6 +430,11 @@ def main():
     ap.add_argument("--tune-yaw", type=float, default=None,
                     help="tune on a specific pose (e.g. the worst-state "
                          "probe's day 17.6 / yaw 315)")
+    ap.add_argument("--tune-sky", action="store_true",
+                    help="autotune the sky-resolve knobs (SKY_SELECT/"
+                         "ANCHOR/LAYOUT/PASSES) on full frames at a "
+                         "pure-band + in-fade state; writes the 'sky' "
+                         "section of autotune.json")
     args = ap.parse_args()
 
     # sitecustomize consumes JAX_PLATFORMS at interpreter startup —
@@ -367,6 +480,9 @@ def main():
         sys.exit(1)
     log(f"backend: {_dev}")
 
+    if args.tune_sky:
+        tune_sky(args)
+        return
     if args.tune:
         tune(args)
         return

@@ -9,9 +9,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+from raytracing_cuda_tpu.utils.config import apply_platform
 
-jax.config.update("jax_platforms", "cpu")
+# force CPU and deregister the remote backend factory (a wedged tunnel
+# must not hang golden regeneration) — shared recipe, see apply_platform
+apply_platform("cpu")
+
+import jax
 
 import jax.numpy as jnp
 import numpy as np
