@@ -369,8 +369,12 @@ def build_classic_scene() -> Scene:
     return _finalize_scene(s)
 
 
-CLASSIC_CAMERA = dict(pos=(55.0, 14.0, -3.0), hor_angle=180.0,
-                      ver_angle=-12.0, fov=40.0)
+# Default pose for the classic demo scene (frames all five showcase
+# spheres, the pyramid, and their mirror-floor reflections; positive
+# ver_angle pitches DOWN in this convention — checked visually, and the
+# classic_demo.png golden pins the framing)
+CLASSIC_CAMERA = dict(pos=(0.0, 7.0, 42.0), hor_angle=270.0,
+                      ver_angle=6.0, fov=40.0)
 
 # Static cluster partitions for the island scene (contiguous in build
 # order) — drive per-tile bounding-sphere culling in the Pallas kernel:

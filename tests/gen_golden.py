@@ -24,7 +24,7 @@ from raytracing_cuda_tpu.render.pipeline import render_frame
 from raytracing_cuda_tpu.scene.builders import build_scene
 from raytracing_cuda_tpu.scene.textures import procedural_skies
 from raytracing_cuda_tpu.utils.images import save_png
-from tests.test_golden import CASES, GOLDEN_DIR, H, W, make_state
+from tests.test_golden import CASES, GOLDEN_DIR, H, W, classic_env, make_state
 
 if __name__ == "__main__":
     scene = build_scene()
@@ -35,3 +35,8 @@ if __name__ == "__main__":
                                       chunk=4096, path="oracle"))
         save_png(img, os.path.join(GOLDEN_DIR, f"{name}.png"))
         print(name, float(img.mean()))
+    cscene, cst = classic_env()
+    img = np.asarray(render_frame(cscene, cst, sky, H, W, chunk=4096,
+                                  path="oracle"))
+    save_png(img, os.path.join(GOLDEN_DIR, "classic_demo.png"))
+    print("classic_demo", float(img.mean()))

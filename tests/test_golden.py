@@ -44,6 +44,26 @@ CASES = {
 }
 
 
+def classic_env():
+    """The classic demo scene (oldStaticScene analogue) + its camera pose.
+
+    The island CASES can't reach this scene family, so it gets its own
+    golden: without one, a semantic regression hitting every path equally
+    would slip past the path-agreement test."""
+    from raytracing_cuda_tpu.core.types import Camera
+    from raytracing_cuda_tpu.scene.builders import (CLASSIC_CAMERA,
+                                                    build_classic_scene)
+
+    cc = CLASSIC_CAMERA
+    st = sim.settle(sim.init_state()._replace(
+        day_time=jnp.float32(14.0),
+        cam=Camera(pos=jnp.asarray(cc["pos"], jnp.float32),
+                   hor_angle=jnp.float32(cc["hor_angle"]),
+                   ver_angle=jnp.float32(cc["ver_angle"]),
+                   fov=jnp.float32(cc["fov"]))))
+    return build_classic_scene(), st
+
+
 @pytest.fixture(scope="module")
 def env():
     return build_scene(), jnp.asarray(procedural_skies(64, 128))
@@ -64,6 +84,22 @@ def test_matches_golden(env, name, path):
     mismatched = np.mean(np.any(diff > 2.0, axis=-1))
     assert rmse < 2e-3, f"{name}/{path}: rmse {rmse}"
     assert mismatched < 0.003, f"{name}/{path}: {mismatched:.4%} pixels off"
+
+
+@pytest.mark.parametrize("path", ["oracle", "fast", "pallas_interpret"])
+def test_classic_matches_golden(env, path):
+    """classic_demo.png pins the classic scene family (see classic_env)."""
+    _, sky = env
+    scene, st = classic_env()
+    golden = np.asarray(
+        Image.open(os.path.join(GOLDEN_DIR, "classic_demo.png"))
+        .convert("RGB"), np.float32)
+    img = np.asarray(render_frame(scene, st, sky, H, W, chunk=4096,
+                                  path=path), np.float32)
+    diff = np.abs(img - golden)
+    rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+    assert rmse < 2e-3, f"classic/{path}: rmse {rmse}"
+    assert np.mean(np.any(diff > 2.0, axis=-1)) < 0.003
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
