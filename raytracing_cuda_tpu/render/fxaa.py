@@ -134,6 +134,24 @@ def apply_fxaa(image, enabled):
 
 from raytracing_cuda_tpu.render.pallas_rt import _round_up
 
+# The packed input plane is held fully VMEM-resident, so frame size is
+# bounded: the plane must fit under the kernel's 64 MB scoped-VMEM limit
+# with headroom for the per-tile window temporaries. 56 MB covers 4K
+# (3840x2176 ~= 35 MB) with margin; beyond it fxaa_pallas splits the frame
+# into row bands (each VMEM-resident, 1-row halos, identical output) and
+# fxaa_ext_pallas fails fast with a clear error.
+FXAA_PALLAS_VMEM_BUDGET = 56 * 1024 * 1024
+
+
+def _fxaa_plane_bytes(h: int, w: int, TH: int, TW: int) -> int:
+    """Bytes of the int32 plane fxaa_ext_pallas keeps VMEM-resident for an
+    (h, w) band (mirrors the padding arithmetic in fxaa_ext_pallas)."""
+    h_pad = _round_up(h, TH)
+    w_pad = _round_up(w, TW)
+    top = _round_up(h_pad + 8 + 2, 8)
+    wid = _round_up(w_pad + 128 + 2, 128)
+    return top * wid * 4
+
 
 def _make_fxaa_kernel(TH, TW):
     import jax.lax as lax
@@ -212,15 +230,25 @@ def _make_fxaa_kernel(TH, TW):
 
 
 def fxaa_ext_pallas(image_ext, row0, total_height: int, TH: int = 16,
-                    TW: int = 256, interpret: bool = False):
+                    TW: int = 256, interpret: bool = False,
+                    vmem_budget: int = FXAA_PALLAS_VMEM_BUDGET):
     """Pallas fxaa_ext: band + 1-row halos → filtered band, (h, w, 3) u8.
 
     row0 may be a traced scalar (rides the SMEM params vector — sharded
     bands share one compiled kernel). The packed frame is edge-padded in x,
     aligned up to (8, 128) multiples, and held fully VMEM-resident; each
-    grid tile loads its halo'd window at an aligned start."""
+    grid tile loads its halo'd window at an aligned start. Bands whose
+    plane exceeds vmem_budget fail fast — split into smaller bands (see
+    fxaa_pallas) or use the XLA fxaa_ext path."""
     h = image_ext.shape[0] - 2
     w = image_ext.shape[1]
+    plane_bytes = _fxaa_plane_bytes(h, w, TH, TW)
+    if plane_bytes > vmem_budget:
+        raise ValueError(
+            f"fxaa_ext_pallas: {h}x{w} band needs a {plane_bytes / 2**20:.0f}"
+            f" MB VMEM-resident plane (> {vmem_budget / 2**20:.0f} MB budget"
+            " under the 64 MB scoped-VMEM limit). Use fxaa_pallas (auto row"
+            " banding), smaller bands, or the XLA fxaa_ext path.")
     img32 = image_ext.astype(jnp.int32)
     packed = img32[..., 0] | (img32[..., 1] << 8) | (img32[..., 2] << 16)
     # x edge-pad by 1 (matches the XLA version's mode="edge"), then align:
@@ -255,11 +283,39 @@ def fxaa_ext_pallas(image_ext, row0, total_height: int, TH: int = 16,
     return rgb.astype(jnp.uint8)
 
 
-def fxaa_pallas(image, interpret: bool = False):
-    """Pallas FXAA on a full (H, W, 3) uint8 frame → (H, W, 3) uint8."""
+def fxaa_pallas(image, interpret: bool = False, TH: int = 16, TW: int = 256,
+                vmem_budget: int = FXAA_PALLAS_VMEM_BUDGET):
+    """Pallas FXAA on a full (H, W, 3) uint8 frame → (H, W, 3) uint8.
+
+    Frames whose packed plane exceeds the VMEM budget are split into row
+    bands with 1-row halos — each band runs the same kernel with its global
+    row0, so the banded result is bit-identical to the single-plane one
+    (the sharded-mesh path in parallel/mesh.py relies on the same property;
+    pinned by tests/test_fxaa.py::test_fxaa_pallas_banded_bit_identical)."""
+    h, w = image.shape[0], image.shape[1]
     ext = jnp.pad(image, ((1, 1), (0, 0), (0, 0)), mode="edge")
-    return fxaa_ext_pallas(ext, row0=0, total_height=image.shape[0],
-                           interpret=interpret)
+    if _fxaa_plane_bytes(h, w, TH, TW) <= vmem_budget:
+        return fxaa_ext_pallas(ext, row0=0, total_height=h, TH=TH, TW=TW,
+                               interpret=interpret, vmem_budget=vmem_budget)
+    # Row banding: smallest band count whose per-band plane fits, band
+    # heights in whole tiles so interior bands share one compiled kernel.
+    nb = 2
+    while (_fxaa_plane_bytes(-(-h // nb), w, TH, TW) > vmem_budget
+           and nb < h):
+        nb += 1
+    bh = _round_up(-(-h // nb), TH)
+    if _fxaa_plane_bytes(bh, w, TH, TW) > vmem_budget:
+        raise ValueError(
+            f"fxaa_pallas: no row banding of a {h}x{w} frame fits the"
+            f" {vmem_budget / 2**20:.0f} MB VMEM budget with {TH}-row tiles;"
+            " use the XLA fxaa path.")
+    bands = []
+    for r0 in range(0, h, bh):
+        r1 = min(h, r0 + bh)
+        bands.append(fxaa_ext_pallas(ext[r0:r1 + 2], row0=r0, total_height=h,
+                                     TH=TH, TW=TW, interpret=interpret,
+                                     vmem_budget=vmem_budget))
+    return jnp.concatenate(bands, axis=0)
 
 
 def apply_fxaa_pallas(image, enabled, interpret: bool = False):

@@ -125,6 +125,38 @@ def test_pallas_fxaa_band_matches_full_frame():
     assert np.array_equal(band, full[16:48])
 
 
+def test_pallas_fxaa_banded_bit_identical():
+    """Over-budget frames auto-split into row bands (1-row halos, global
+    row0) and must be bit-identical to the single-plane kernel — the same
+    property the ≥4K path relies on (VMEM ceiling guard, fxaa.py)."""
+    from raytracing_cuda_tpu.render.fxaa import (_fxaa_plane_bytes,
+                                                 fxaa_pallas)
+
+    rng = np.random.default_rng(19)
+    img = jnp.asarray(rng.integers(0, 256, (96, 160, 3)).astype(np.uint8))
+    full = np.asarray(fxaa_pallas(img, interpret=True))
+    # force banding with a budget that fits ~2 tile-rows per band
+    tiny = _fxaa_plane_bytes(32, 160, 16, 256) + 1
+    banded = np.asarray(fxaa_pallas(img, interpret=True, vmem_budget=tiny))
+    assert np.array_equal(banded, full)
+
+
+def test_pallas_fxaa_vmem_guard():
+    """4K fits the default budget; 8K exceeds it (clear fail-fast on the
+    band entry point, auto-banding on the frame entry point)."""
+    import pytest
+
+    from raytracing_cuda_tpu.render.fxaa import (FXAA_PALLAS_VMEM_BUDGET,
+                                                 _fxaa_plane_bytes,
+                                                 fxaa_ext_pallas)
+
+    assert _fxaa_plane_bytes(2176, 3840, 16, 256) <= FXAA_PALLAS_VMEM_BUDGET
+    assert _fxaa_plane_bytes(4320, 7680, 16, 256) > FXAA_PALLAS_VMEM_BUDGET
+    with pytest.raises(ValueError, match="VMEM"):
+        fxaa_ext_pallas(jnp.zeros((4322, 7680, 3), jnp.uint8), row0=0,
+                        total_height=4320, interpret=True)
+
+
 def test_pallas_fxaa_borders_and_toggle():
     from raytracing_cuda_tpu.render.fxaa import apply_fxaa_pallas, fxaa_pallas
 
