@@ -184,6 +184,24 @@ def parity_check(w, h, sky_shape, chunk, details):
     return ok, rmses
 
 
+def merge_autotune(full: dict, out: dict) -> dict:
+    """Merge one --tune result into autotune.json's contents.
+
+    Merge, don't clobber: the file also carries the "sky" section
+    (--tune-sky) and per-size winners under "sizes" (launch_knobs resolves
+    sizes[WxH] → top level → compiled-in defaults). The top level stays the
+    flagship-size winner; tuning another size only updates its "sizes"
+    entry. Unit-tested (test_render_fast.py) — an earlier version of this
+    write path clobbered sibling sections."""
+    full = dict(full)
+    sizes = dict(full.get("sizes", {}))
+    sizes[out["size"]] = out
+    if full.get("size", out["size"]) == out["size"]:
+        full.update(out)
+    full["sizes"] = sizes
+    return full
+
+
 def tune(args):
     """One-command launch-config autotune for new silicon (VERDICT r2 #7).
 
@@ -237,17 +255,17 @@ def tune(args):
     # candidate set: tile grid at default split/t_bound, plus split/t_bound
     # variants of the SHIPPED tile (the current kernel defaults — a stale
     # literal here once measured the knobs at the pre-autotune (16, 256))
-    from raytracing_cuda_tpu.render.pallas_rt import (DEFAULT_TILE_H,
-                                                      DEFAULT_TILE_W)
+    from raytracing_cuda_tpu.render.pallas_rt import launch_knobs
 
+    shipped = launch_knobs(h, w)  # this size's shipped knobs (per-size aware)
     cands = {}
     for th, tw in itertools.product(ths, tws):
         if tw % 128:
             continue
         cands[f"tile{th}x{tw}"] = (th, tw, True, 1)
-    split_tw = DEFAULT_TILE_W if DEFAULT_TILE_W % 256 == 0 else 256
-    cands["split2"] = (DEFAULT_TILE_H, split_tw, True, 2)
-    cands["no_t_bound"] = (DEFAULT_TILE_H, DEFAULT_TILE_W, False, 1)
+    split_tw = shipped["tile_w"] if shipped["tile_w"] % 256 == 0 else 256
+    cands["split2"] = (shipped["tile_h"], split_tw, True, 2)
+    cands["no_t_bound"] = (shipped["tile_h"], shipped["tile_w"], False, 1)
 
     fns = {}
     for name, knobs in cands.items():
@@ -293,8 +311,13 @@ def tune(args):
            "median_ms": round(med[ranked[0]], 3),
            "all_medians_ms": {n: round(v, 3) for n, v in med.items()},
            "size": f"{w}x{h}", "day": args.tune_day, "yaw": args.tune_yaw}
+    full = {}
+    if os.path.exists("autotune.json"):
+        with open("autotune.json") as f:
+            full = json.load(f)
+    full = merge_autotune(full, out)
     with open("autotune.json", "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(full, f, indent=2)
     print(json.dumps(out))
 
 
@@ -392,7 +415,14 @@ def tune_sky(args):
     log("tune-sky ranking (pure+fade ms): " + "  ".join(
         f"{n}={med[n]['pure']:.2f}+{med[n]['fade']:.2f}" for n in ranked))
 
+    # "resolved" = the full knob set the winner implies (shipped defaults +
+    # the winning flip) — test_sky_defaults_match_autotune pins textures.py
+    # to it, the test_kernel_defaults_match_autotune pattern
+    resolved = {k: getattr(tex, k) for k in
+                ("SKY_SELECT", "SKY_ANCHOR", "SKY_LAYOUT", "SKY_PASSES")}
+    resolved.update(CANDS[ranked[0]])
     out = {"winner": ranked[0], "knobs": CANDS[ranked[0]],
+           "resolved": resolved,
            "medians_ms": {n: {b: round(v, 3) for b, v in bands.items()}
                           for n, bands in med.items()},
            "size": f"{w}x{h}", "sky": f"{sh}x{sw}", "day": args.tune_day}
@@ -410,7 +440,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small resolution smoke run")
     ap.add_argument("--frames", type=int, default=None, help="frames for the sustained loop")
-    ap.add_argument("--size", default=None, help="WxH, e.g. 1280x720")
+    ap.add_argument("--size", default=None,
+                    help="WxH, e.g. 1280x720 (with --tune: comma list "
+                         "retunes each size in turn)")
     ap.add_argument("--sky", default="auto", choices=["auto", "reference", "procedural"])
     ap.add_argument("--sky-downsample", type=int, default=1)
     ap.add_argument("--chunk", type=int, default=32768)
@@ -446,10 +478,54 @@ def main():
 
     apply_env_platform()
 
+    # Wedge retry: a wedged tunnel at bench time costs the round its
+    # driver-captured headline (BENCH_r03 was an error record — the tunnel
+    # happened to be down the minute the driver ran). Probe the backend in
+    # a SUBPROCESS (in-process, client creation blocks forever and taints
+    # the interpreter: the blocked init holds the backend slot) and retry
+    # inside a bounded budget before giving up.
+    if "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
+        import subprocess
+        budget = float(os.environ.get("BENCH_BACKEND_RETRY_S", 900))
+        probe_t = float(os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT_S", 150))
+        deadline = time.time() + budget
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; print('BENCH-PROBE-OK', len(jax.devices()))"],
+                    timeout=probe_t, capture_output=True, text=True)
+                if r.returncode == 0 and "BENCH-PROBE-OK" in r.stdout:
+                    if attempt > 1:
+                        log(f"backend probe recovered on attempt {attempt}")
+                    break
+                log(f"backend probe attempt {attempt}: rc={r.returncode} "
+                    f"{(r.stderr or '').strip()[-200:]}")
+            except subprocess.TimeoutExpired:
+                log(f"backend probe attempt {attempt}: timed out "
+                    "(wedged tunnel signature)")
+            if time.time() + 45 >= deadline:
+                log("FATAL: backend never came up within "
+                    f"BENCH_BACKEND_RETRY_S={budget:.0f}s "
+                    f"({attempt} probe attempts) — the remote TPU tunnel "
+                    "is wedged (see CLAUDE.md). Retry later or run with "
+                    "JAX_PLATFORMS=cpu for a smoke.")
+                print(json.dumps({
+                    "metric": "error", "value": 0, "unit": "none",
+                    "vs_baseline": 0,
+                    "error": "backend wedged (devices() timeout)",
+                    "probe_attempts": attempt,
+                    "retry_budget_s": budget}))
+                sys.exit(1)
+            time.sleep(45)
+
     # Backend watchdog: the remote tunnel can wedge outright (axon client
     # creation blocks forever — observed 2026-08-17, >1 h). A bench that
     # hangs is worse than one that fails: bound the first backend touch
-    # and exit with a diagnostic instead.
+    # and exit with a diagnostic instead. (Kept even after the subprocess
+    # probe above: the tunnel can wedge BETWEEN probe and first touch.)
     import threading
 
     _ready = threading.Event()
@@ -484,7 +560,12 @@ def main():
         tune_sky(args)
         return
     if args.tune:
-        tune(args)
+        # --size takes a comma list here (e.g. 1280x720,1920x1080,640x480):
+        # one command retunes every size; non-flagship winners land under
+        # autotune.json "sizes" (launch_knobs resolves per size)
+        for size in (args.size or "1280x720").split(","):
+            args.size = size
+            tune(args)
         return
 
     from raytracing_cuda_tpu.app.loop import Engine

@@ -110,6 +110,40 @@ N_PARAMS = P_CLUSTERS + 4 * MAX_CLUSTERS
 DEFAULT_TILE_H = 48
 DEFAULT_TILE_W = 128
 
+_AUTOTUNE = None
+
+
+def _load_autotune() -> dict:
+    """autotune.json from the repo root (empty dict when absent/invalid)."""
+    global _AUTOTUNE
+    if _AUTOTUNE is None:
+        import json
+        import pathlib
+        path = pathlib.Path(__file__).resolve().parents[2] / "autotune.json"
+        try:
+            _AUTOTUNE = json.loads(path.read_text())
+        except (OSError, ValueError):
+            _AUTOTUNE = {}
+    return _AUTOTUNE
+
+
+def launch_knobs(height: int, width: int) -> dict:
+    """Launch knobs for a frame size (VERDICT r3 #4: the tile optimum is
+    known to move, and a 720p winner need not win at 1080p).
+
+    Resolution order: autotune.json `sizes["WxH"]` exact match → the
+    top-level (flagship 720p) winner → the compiled-in defaults. Callers
+    that pad framebuffers must pad with THESE knobs so padding and grid
+    agree (render_base_planes_pallas resolves them itself when not given)."""
+    tuned = _load_autotune()
+    src = tuned.get("sizes", {}).get(f"{width}x{height}", tuned)
+    return {
+        "tile_h": src.get("tile_h", DEFAULT_TILE_H),
+        "tile_w": src.get("tile_w", DEFAULT_TILE_W),
+        "t_bound": src.get("t_bound", True),
+        "lane_split": src.get("lane_split", 1),
+    }
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -999,13 +1033,14 @@ def raytrace_planes(coef, params, H: int, W: int, t_pads: tuple,
 
 def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
                               height: int, width: int,
-                              tile_h: int = DEFAULT_TILE_H,
-                              tile_w: int = DEFAULT_TILE_W,
+                              tile_h: int | None = None,
+                              tile_w: int | None = None,
                               interpret: bool = False,
                               tri_clusters: tuple | None = None,
                               sph_clusters: tuple | None = None,
                               row0=0, total_height: int | None = None,
-                              t_bound: bool = True, lane_split: int = 1,
+                              t_bound: bool | None = None,
+                              lane_split: int | None = None,
                               t_subs: tuple | None = None,
                               ablate: tuple = ()):
     """Scene → packed tensors → megakernel → 7 framebuffer planes.
@@ -1024,7 +1059,18 @@ def render_base_planes_pallas(scene: Scene, lights: Lights, ambient, cam_rays,
     shadows) are culled — measured −2.2% at 720p. lane_split: run culls +
     sweeps per TW/lane_split-lane band; bit-identical but measured −23%
     at 720p on the tunnel (relayout + cond overhead), kept at 1; re-test
-    on dedicated silicon (docs/PERFORMANCE.md)."""
+    on dedicated silicon (docs/PERFORMANCE.md).
+
+    tile_h/tile_w/t_bound/lane_split default to None = the autotuned knobs
+    for the FULL frame size (launch_knobs; per-size autotune.json entries
+    beat the flagship 720p winner) — sharded bands resolve by total_height
+    so every band of a frame agrees."""
+    knobs = launch_knobs(total_height if total_height is not None
+                         else height, width)
+    tile_h = knobs["tile_h"] if tile_h is None else tile_h
+    tile_w = knobs["tile_w"] if tile_w is None else tile_w
+    t_bound = knobs["t_bound"] if t_bound is None else t_bound
+    lane_split = knobs["lane_split"] if lane_split is None else lane_split
     if t_subs and not tri_clusters:
         # silently accepting this would misalign the sphere-cluster bound
         # slots (_make_kernel counts sum(t_subs) tri bounds, but the packed

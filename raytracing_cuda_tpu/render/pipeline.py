@@ -185,8 +185,8 @@ def render_frames_batch(scene: Scene, state, sky_pack,
 
     from raytracing_cuda_tpu.render.fxaa import fxaa
     from raytracing_cuda_tpu.render.pallas_rt import (
-        DEFAULT_TILE_H, DEFAULT_TILE_W, P_CLUSTERS, _round_up, cluster_bounds,
-        pack_params, pack_scene, raytrace_planes_batch, sph_cluster_norm,
+        P_CLUSTERS, _round_up, cluster_bounds, launch_knobs, pack_params,
+        pack_scene, raytrace_planes_batch, sph_cluster_norm,
         tri_cluster_pads)
     from raytracing_cuda_tpu.render.reference import quantize
     from raytracing_cuda_tpu.sim.actions import Action
@@ -228,13 +228,17 @@ def render_frames_batch(scene: Scene, state, sky_pack,
             f"{len(t_pads)} tri + {len(s_pads)} sphere clusters exceed "
             f"MAX_CLUSTERS={MAX_CLUSTERS}; the bounds would overflow the "
             f"params vector")
-    # pad to the SHIPPED launch tile (partial edge blocks are ~14x slower;
-    # a stale literal here once pinned the pre-autotune (16, 256) tile)
-    h_pad = _round_up(height, DEFAULT_TILE_H)
-    w_pad = _round_up(width, DEFAULT_TILE_W)
+    # pad to the AUTOTUNED launch tile for this size (partial edge blocks
+    # are ~14x slower; a stale literal here once pinned the pre-autotune
+    # (16, 256) tile — launch_knobs keeps padding and grid in lockstep)
+    knobs = launch_knobs(height, width)
+    h_pad = _round_up(height, knobs["tile_h"])
+    w_pad = _round_up(width, knobs["tile_w"])
     planes = raytrace_planes_batch(
         coefs, params, h_pad, w_pad, t_pads, s_pads, s_occl,
-        interpret=interpret, total_h=height, total_w=width)
+        TH=knobs["tile_h"], TW=knobs["tile_w"],
+        interpret=interpret, total_h=height, total_w=width,
+        t_bound=knobs["t_bound"], lane_split=knobs["lane_split"])
     if (h_pad, w_pad) != (height, width):
         planes = tuple(p[:, :height, :width] for p in planes)
     r, g, b, mw, mdx, mdy, mdz = planes

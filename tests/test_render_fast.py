@@ -407,12 +407,94 @@ def test_kernel_defaults_match_autotune():
 
     tuned = json.loads((pathlib.Path(__file__).parent.parent
                         / "autotune.json").read_text())
-    for fn, th_name, tw_name in ((raytrace_planes, "TH", "TW"),
-                                 (raytrace_planes_batch, "TH", "TW"),
-                                 (render_base_planes_pallas,
-                                  "tile_h", "tile_w")):
+    for fn in (raytrace_planes, raytrace_planes_batch):
         p = inspect.signature(fn).parameters
-        assert p[th_name].default == tuned["tile_h"], fn.__name__
-        assert p[tw_name].default == tuned["tile_w"], fn.__name__
+        assert p["TH"].default == tuned["tile_h"], fn.__name__
+        assert p["TW"].default == tuned["tile_w"], fn.__name__
         assert p["t_bound"].default == tuned["t_bound"], fn.__name__
         assert p["lane_split"].default == tuned["lane_split"], fn.__name__
+    # render_base_planes_pallas defaults to None = launch_knobs resolution
+    p = inspect.signature(render_base_planes_pallas).parameters
+    for name in ("tile_h", "tile_w", "t_bound", "lane_split"):
+        assert p[name].default is None, name
+
+
+def test_merge_autotune_preserves_sibling_sections():
+    """tune() must not clobber the 'sky' section or other sizes' winners
+    (an earlier write path did — it rewrote the whole file)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    existing = {"winner": "tile48x128", "tile_h": 48, "tile_w": 128,
+                "t_bound": True, "lane_split": 1, "size": "1280x720",
+                "sky": {"winner": "shipped"},
+                "sizes": {"1280x720": {"tile_h": 48}}}
+    out1080 = {"winner": "tile16x256", "tile_h": 16, "tile_w": 256,
+               "t_bound": True, "lane_split": 1, "size": "1920x1080"}
+    merged = bench.merge_autotune(existing, out1080)
+    # non-flagship size: top level untouched, sizes gains the entry
+    assert merged["tile_h"] == 48 and merged["sky"] == {"winner": "shipped"}
+    assert merged["sizes"]["1920x1080"]["tile_h"] == 16
+    assert merged["sizes"]["1280x720"] == {"tile_h": 48}
+    # flagship size: top level updates too, sky still preserved
+    out720 = dict(out1080, size="1280x720")
+    merged2 = bench.merge_autotune(merged, out720)
+    assert merged2["tile_h"] == 16 and "sky" in merged2
+    assert merged2["sizes"]["1920x1080"]["tile_h"] == 16
+
+
+def test_sky_defaults_match_autotune():
+    """Once `bench.py --tune-sky` has committed a 'sky' section, textures'
+    module knobs must track its resolved winner (the
+    test_kernel_defaults_match_autotune pattern). Skips until then."""
+    import json
+    import pathlib
+
+    import pytest
+
+    import raytracing_cuda_tpu.scene.textures as tex
+
+    tuned = json.loads((pathlib.Path(__file__).parent.parent
+                        / "autotune.json").read_text())
+    if "sky" not in tuned or "resolved" not in tuned.get("sky", {}):
+        pytest.skip("no tuned sky section yet (bench.py --tune-sky "
+                    "has not run on the TPU)")
+    for k, v in tuned["sky"]["resolved"].items():
+        assert getattr(tex, k) == v, k
+
+
+def test_launch_knobs_resolution_order():
+    """launch_knobs: per-size entry → top-level winner → constants
+    (VERDICT r3 #4 — per-size autotune plumbing)."""
+    import json
+    import pathlib
+
+    from raytracing_cuda_tpu.render import pallas_rt
+    from raytracing_cuda_tpu.render.pallas_rt import launch_knobs
+
+    tuned = json.loads((pathlib.Path(__file__).parent.parent
+                        / "autotune.json").read_text())
+    w, h = (int(v) for v in tuned["size"].split("x"))
+    k = launch_knobs(h, w)
+    assert k["tile_h"] == tuned["tile_h"] and k["tile_w"] == tuned["tile_w"]
+    # an untuned size falls back to the top-level winner
+    k2 = launch_knobs(h + 8, w + 128)
+    assert k2 == {"tile_h": tuned["tile_h"], "tile_w": tuned["tile_w"],
+                  "t_bound": tuned["t_bound"],
+                  "lane_split": tuned["lane_split"]}
+    # a per-size entry overrides the top level (patch the cache, restore)
+    old = pallas_rt._AUTOTUNE
+    try:
+        pallas_rt._AUTOTUNE = dict(tuned)
+        pallas_rt._AUTOTUNE["sizes"] = {"1920x1080": {"tile_h": 16,
+                                                      "tile_w": 256}}
+        k3 = launch_knobs(1080, 1920)
+        assert (k3["tile_h"], k3["tile_w"]) == (16, 256)
+        assert k3["t_bound"] is True and k3["lane_split"] == 1  # entry's own
+    finally:
+        pallas_rt._AUTOTUNE = old
