@@ -184,19 +184,52 @@ def parity_check(w, h, sky_shape, chunk, details):
     return ok, rmses
 
 
+# bench.py lives at the repo root next to autotune.json; resolve the file
+# relative to THIS file so `python /root/repo/bench.py --tune` from any cwd
+# reads/writes the same autotune.json that launch_knobs and the pinning
+# tests consult (a cwd-relative open silently forked the two).
+AUTOTUNE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "autotune.json")
+FLAGSHIP_SIZE = "1280x720"   # the top-level autotune winner's size
+
+
+def read_autotune() -> dict:
+    if os.path.exists(AUTOTUNE_PATH):
+        with open(AUTOTUNE_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def write_autotune(full: dict) -> None:
+    with open(AUTOTUNE_PATH, "w") as f:
+        json.dump(full, f, indent=2)
+    # tune results must be visible to launch_knobs IN THIS PROCESS: the
+    # multi-size loop builds each size's shipped/split2/no_t_bound arms
+    # from the knobs tuned moments earlier
+    from raytracing_cuda_tpu.render import pallas_rt
+    pallas_rt._AUTOTUNE = None
+
+
 def merge_autotune(full: dict, out: dict) -> dict:
     """Merge one --tune result into autotune.json's contents.
 
     Merge, don't clobber: the file also carries the "sky" section
     (--tune-sky) and per-size winners under "sizes" (launch_knobs resolves
-    sizes[WxH] → top level → compiled-in defaults). The top level stays the
-    flagship-size winner; tuning another size only updates its "sizes"
-    entry. Unit-tested (test_render_fast.py) — an earlier version of this
-    write path clobbered sibling sections."""
+    sizes[WxH] → top level → compiled-in defaults, per key). The top level
+    is pinned to the FLAGSHIP size (1280x720 — not first-writer-wins, else
+    tuning 1080p first on fresh silicon would make every untuned size fall
+    back to 1080p knobs and break the defaults pin test); tuning another
+    size only updates its "sizes" entry, trimmed to what launch_knobs
+    reads plus the winner's provenance (the full sweep telemetry stays at
+    the top level for the flagship). Unit-tested (test_render_fast.py) —
+    an earlier version of this write path clobbered sibling sections."""
     full = dict(full)
     sizes = dict(full.get("sizes", {}))
-    sizes[out["size"]] = out
-    if full.get("size", out["size"]) == out["size"]:
+    sizes[out["size"]] = {k: out[k] for k in
+                          ("winner", "tile_h", "tile_w", "t_bound",
+                           "lane_split", "median_ms", "size", "day", "yaw")
+                          if k in out}
+    if full.get("size", FLAGSHIP_SIZE) == out["size"]:
         full.update(out)
     full["sizes"] = sizes
     return full
@@ -311,13 +344,7 @@ def tune(args):
            "median_ms": round(med[ranked[0]], 3),
            "all_medians_ms": {n: round(v, 3) for n, v in med.items()},
            "size": f"{w}x{h}", "day": args.tune_day, "yaw": args.tune_yaw}
-    full = {}
-    if os.path.exists("autotune.json"):
-        with open("autotune.json") as f:
-            full = json.load(f)
-    full = merge_autotune(full, out)
-    with open("autotune.json", "w") as f:
-        json.dump(full, f, indent=2)
+    write_autotune(merge_autotune(read_autotune(), out))
     print(json.dumps(out))
 
 
@@ -426,13 +453,9 @@ def tune_sky(args):
            "medians_ms": {n: {b: round(v, 3) for b, v in bands.items()}
                           for n, bands in med.items()},
            "size": f"{w}x{h}", "sky": f"{sh}x{sw}", "day": args.tune_day}
-    full = {}
-    if os.path.exists("autotune.json"):
-        with open("autotune.json") as f:
-            full = json.load(f)
+    full = read_autotune()
     full["sky"] = out
-    with open("autotune.json", "w") as f:
-        json.dump(full, f, indent=2)
+    write_autotune(full)
     print(json.dumps({"sky_tune": out}))
 
 
@@ -493,10 +516,13 @@ def main():
         while True:
             attempt += 1
             try:
+                # cap each probe by the remaining budget so the total wait
+                # can't overshoot BENCH_BACKEND_RETRY_S by a probe length
+                this_t = min(probe_t, max(10.0, deadline - time.time()))
                 r = subprocess.run(
                     [sys.executable, "-c",
                      "import jax; print('BENCH-PROBE-OK', len(jax.devices()))"],
-                    timeout=probe_t, capture_output=True, text=True)
+                    timeout=this_t, capture_output=True, text=True)
                 if r.returncode == 0 and "BENCH-PROBE-OK" in r.stdout:
                     if attempt > 1:
                         log(f"backend probe recovered on attempt {attempt}")

@@ -131,17 +131,23 @@ def launch_knobs(height: int, width: int) -> dict:
     """Launch knobs for a frame size (VERDICT r3 #4: the tile optimum is
     known to move, and a 720p winner need not win at 1080p).
 
-    Resolution order: autotune.json `sizes["WxH"]` exact match → the
-    top-level (flagship 720p) winner → the compiled-in defaults. Callers
-    that pad framebuffers must pad with THESE knobs so padding and grid
-    agree (render_base_planes_pallas resolves them itself when not given)."""
+    Resolution order PER KEY: autotune.json `sizes["WxH"]` exact match →
+    the top-level (flagship 720p) winner → the compiled-in defaults (a
+    partial per-size entry falls through to the top level, not straight to
+    the constants). Callers that pad framebuffers must pad with THESE knobs
+    so padding and grid agree (render_base_planes_pallas resolves them
+    itself when not given)."""
     tuned = _load_autotune()
-    src = tuned.get("sizes", {}).get(f"{width}x{height}", tuned)
+    per = tuned.get("sizes", {}).get(f"{width}x{height}", {})
+
+    def get(k, default):
+        return per.get(k, tuned.get(k, default))
+
     return {
-        "tile_h": src.get("tile_h", DEFAULT_TILE_H),
-        "tile_w": src.get("tile_w", DEFAULT_TILE_W),
-        "t_bound": src.get("t_bound", True),
-        "lane_split": src.get("lane_split", 1),
+        "tile_h": get("tile_h", DEFAULT_TILE_H),
+        "tile_w": get("tile_w", DEFAULT_TILE_W),
+        "t_bound": get("t_bound", True),
+        "lane_split": get("lane_split", 1),
     }
 
 

@@ -446,6 +446,13 @@ def test_merge_autotune_preserves_sibling_sections():
     merged2 = bench.merge_autotune(merged, out720)
     assert merged2["tile_h"] == 16 and "sky" in merged2
     assert merged2["sizes"]["1920x1080"]["tile_h"] == 16
+    # fresh file: a non-flagship first tune must NOT become the top level
+    # (else every untuned size falls back to it and the defaults pin breaks)
+    fresh = bench.merge_autotune({}, out1080)
+    assert "tile_h" not in fresh or fresh.get("size") != "1920x1080"
+    assert fresh["sizes"]["1920x1080"]["tile_h"] == 16
+    fresh2 = bench.merge_autotune(fresh, out720)
+    assert fresh2["tile_h"] == 16 and fresh2["size"] == "1280x720"
 
 
 def test_sky_defaults_match_autotune():
@@ -487,14 +494,17 @@ def test_launch_knobs_resolution_order():
     assert k2 == {"tile_h": tuned["tile_h"], "tile_w": tuned["tile_w"],
                   "t_bound": tuned["t_bound"],
                   "lane_split": tuned["lane_split"]}
-    # a per-size entry overrides the top level (patch the cache, restore)
+    # a per-size entry overrides the top level (patch the cache, restore);
+    # keys MISSING from the entry fall through to the top level, not to
+    # the compiled-in constants
     old = pallas_rt._AUTOTUNE
     try:
-        pallas_rt._AUTOTUNE = dict(tuned)
+        pallas_rt._AUTOTUNE = dict(tuned, t_bound=False)
         pallas_rt._AUTOTUNE["sizes"] = {"1920x1080": {"tile_h": 16,
                                                       "tile_w": 256}}
         k3 = launch_knobs(1080, 1920)
         assert (k3["tile_h"], k3["tile_w"]) == (16, 256)
-        assert k3["t_bound"] is True and k3["lane_split"] == 1  # entry's own
+        assert k3["t_bound"] is False          # top-level, not the constant
+        assert k3["lane_split"] == 1
     finally:
         pallas_rt._AUTOTUNE = old
