@@ -32,6 +32,11 @@ def _config(args) -> "RenderConfig":
     from raytracing_cuda_tpu.utils.config import RenderConfig
 
     w, h = _parse_wh(args.size, "--size")
+    # SSAA (render/record only): the engine renders at N x the requested
+    # size; frames are box-resolved back down at write time
+    ssaa = getattr(args, "ssaa", 1)
+    if args.command in ("render", "record") and ssaa > 1:
+        w, h = w * ssaa, h * ssaa
     # preview is a window-only knob (the help text scopes it); forwarding
     # it for render/record/bench would make RenderConfig's divisibility
     # validation reject runs that never read it
@@ -87,6 +92,11 @@ def main(argv=None):
                     help="record: with --dp N, also row-shard each frame "
                          "across R devices (2-D N x R hybrid mesh, N frame "
                          "groups of R row-sharded devices)")
+    ap.add_argument("--ssaa", type=int, default=1,
+                    help="supersample factor for render/record (beyond-"
+                         "reference): renders at N x --size and box-"
+                         "resolves down — offline quality knob, composes "
+                         "with FXAA (which runs at the super resolution)")
     ap.add_argument("--preview", type=int, default=1,
                     help="window: render full-res but read back a 1/N-size "
                          "on-device downsample and upscale in the blit "
@@ -154,11 +164,14 @@ def main(argv=None):
     eng = Engine(_config(args))
     eng.set_state(build_state(eng.state))
 
+    if args.ssaa < 1:
+        raise SystemExit(f"--ssaa must be >= 1, got {args.ssaa}")
+
     if args.command == "render":
-        from raytracing_cuda_tpu.utils.images import save_png
+        from raytracing_cuda_tpu.utils.images import box_downsample, save_png
 
         out = args.target or "frame.png"
-        save_png(eng.frame_np(), out)
+        save_png(box_downsample(eng.frame_np(), args.ssaa), out)
         print(f"wrote {out}")
         return 0
 
@@ -220,9 +233,19 @@ def main(argv=None):
                 img = eng.step_and_frame(scripted(i), 1 / 30)
                 write(np.asarray(img), os.path.join(out_dir, f"{i:04d}.png"))
 
+        if args.ssaa > 1:                        # SSAA resolve at write time
+            from raytracing_cuda_tpu.utils.images import box_downsample
+
+            def _resolved(write):
+                return lambda img, path: write(
+                    box_downsample(img, args.ssaa), path)
+        else:
+            def _resolved(write):
+                return write
+
         if frameio.available():
             with frameio.AsyncFrameWriter(ring=4) as w:   # off the hot loop
-                emit_all(w.submit)
+                emit_all(_resolved(w.submit))
                 w.drain()
                 written = w.written
             if written != args.frames - start:
@@ -231,7 +254,7 @@ def main(argv=None):
                       file=sys.stderr)
                 return 1
         else:
-            emit_all(frameio.write_png)
+            emit_all(_resolved(frameio.write_png))
         print(f"wrote {args.frames} frames to {out_dir}")
         if args.gif and args.frames > 0:
             from PIL import Image

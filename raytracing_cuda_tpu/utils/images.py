@@ -27,6 +27,20 @@ def load_png(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def box_downsample(image, n: int) -> np.ndarray:
+    """Average n×n pixel boxes — the SSAA resolve (beyond-reference:
+    `render/record --ssaa N` renders at N× and resolves here).
+
+    (H·n, W·n, C) uint8 → (H, W, C) uint8, rounded half-up (clamp+truncate
+    of mean+0.5, matching the engine's quantize convention)."""
+    img = np.asarray(image)
+    if n == 1:
+        return img
+    h, w = img.shape[0] // n, img.shape[1] // n
+    acc = img.astype(np.float32).reshape(h, n, w, n, -1).mean(axis=(1, 3))
+    return np.clip(acc + 0.5, 0.0, 255.0).astype(np.uint8)
+
+
 def rmse(a, b) -> float:
     """Per-pixel RMSE on the 0..1 scale (the BASELINE.json parity metric)."""
     a = np.asarray(a, np.float64) / 255.0

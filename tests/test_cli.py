@@ -153,6 +153,53 @@ def test_malformed_size_is_a_usage_error(tmp_path):
                   "--sky", "procedural", "--path", "fast"])
 
 
+def test_box_downsample_semantics():
+    """SSAA resolve: n×n box mean, round-half-up, uint8 in/out."""
+    from raytracing_cuda_tpu.utils.images import box_downsample
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = 100                       # one uniform 2x2 box
+    img[:2, 2:4, 0] = [[10, 11], [10, 12]]  # mean 10.75 -> 11
+    out = box_downsample(img, 2)
+    assert out.shape == (2, 2, 3) and out.dtype == np.uint8
+    assert (out[0, 0] == 100).all()
+    assert out[0, 1, 0] == 11 and out[0, 1, 1] == 0
+    assert (out[1] == 0).all()
+    src = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(box_downsample(src, 1), src)   # n=1 passthrough
+
+
+def test_record_ssaa_resolves_at_write_time(tmp_path, monkeypatch):
+    """--ssaa 2: the engine is built at 2x --size and written frames are
+    box-resolved back to --size (stubbed renders, the dp-test pattern)."""
+    from raytracing_cuda_tpu.app import loop as loop_mod
+
+    seen_cfg = []
+    orig_init = loop_mod.Engine.__init__
+
+    def spy_init(self, cfg, **kw):
+        seen_cfg.append((cfg.width, cfg.height))
+        return orig_init(self, cfg, **kw)
+
+    def fake_step(self, action, dt):
+        img = np.zeros((128, 256, 3), np.uint8)   # 2x the requested 128x64
+        img[0, 0] = 255      # lone bright texel -> 64 after the 2x2 mean
+        return img
+
+    monkeypatch.setattr(loop_mod.Engine, "__init__", spy_init)
+    monkeypatch.setattr(loop_mod.Engine, "step_and_frame", fake_step)
+
+    out = str(tmp_path / "frames")
+    assert main(["record", out, "--frames", "2", "--ssaa", "2",
+                 "--size", "128x64", "--sky", "procedural",
+                 "--sky-shape", "64x32", "--path", "pallas_interpret"]) == 0
+    assert seen_cfg == [(256, 128)]
+    img = np.asarray(
+        Image.open(os.path.join(out, "0000.png")).convert("RGB"))
+    assert img.shape == (64, 128, 3)
+    assert img[0, 0, 0] == 64 and (img[0, 1] == 0).all()  # 255/4=63.75 -> 64
+
+
 def test_frames_mesh_rejects_oversubscription():
     from raytracing_cuda_tpu.parallel.frames import make_frames_mesh
 
