@@ -92,6 +92,11 @@ def main(argv=None):
                     help="record: with --dp N, also row-shard each frame "
                          "across R devices (2-D N x R hybrid mesh, N frame "
                          "groups of R row-sharded devices)")
+    ap.add_argument("--png-level", type=int, default=0,
+                    help="record PNG compression 0-9 (0 = stored-deflate, "
+                         "memcpy-speed, default; >0 = Sub-filtered zlib, "
+                         "~4-6x smaller frames, encoded on background "
+                         "writer threads)")
     ap.add_argument("--ssaa", type=int, default=1,
                     help="supersample factor for render/record (beyond-"
                          "reference): renders at N x --size and box-"
@@ -243,8 +248,15 @@ def main(argv=None):
             def _resolved(write):
                 return write
 
+        level = frameio.set_png_level(args.png_level)
+        if level != args.png_level:
+            print(f"note: PNG level clamped to {level} (zlib-less frameio "
+                  "build)", file=sys.stderr)
         if frameio.available():
-            with frameio.AsyncFrameWriter(ring=4) as w:   # off the hot loop
+            # compressed encodes are ~ms-scale per frame: spread them over
+            # a few workers so the writer keeps up with the render loop
+            threads = 4 if level > 0 else 1
+            with frameio.AsyncFrameWriter(ring=4, threads=threads) as w:
                 emit_all(_resolved(w.submit))
                 w.drain()
                 written = w.written

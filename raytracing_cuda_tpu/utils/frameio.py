@@ -41,6 +41,14 @@ def _load():
         lib.fio_writer_failed.restype = ctypes.c_long
     except AttributeError:             # older .so without the counter
         pass
+    try:
+        lib.fio_set_png_level.argtypes = [ctypes.c_int]
+        lib.fio_set_png_level.restype = ctypes.c_int
+        lib.fio_get_png_level.restype = ctypes.c_int
+        lib.fio_writer_create2.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.fio_writer_create2.restype = ctypes.c_void_p
+    except AttributeError:             # older .so: stored-only, one worker
+        pass
     lib.fio_writer_drain.argtypes = [ctypes.c_void_p]
     lib.fio_writer_destroy.argtypes = [ctypes.c_void_p]
     lib.fio_now_ns.restype = ctypes.c_longlong
@@ -69,6 +77,24 @@ def build(quiet: bool = True) -> bool:
     return r.returncode == 0 and available()
 
 
+_pil_png_level = 0   # PIL-fallback mirror of the native global
+
+
+def set_png_level(level: int) -> int:
+    """PNG encode level for all frameio writes: 0 = stored-deflate
+    (memcpy-speed, default), 1-9 = Sub-filtered zlib compression (~4-6x
+    smaller rendered frames; encode runs on writer threads). Returns the
+    level actually in effect (0 on builds/fallbacks without zlib)."""
+    global _pil_png_level
+    level = max(0, min(9, int(level)))
+    _pil_png_level = level
+    lib = _load()
+    fn = getattr(lib, "fio_set_png_level", None) if lib is not None else None
+    if fn is not None:
+        return int(fn(level))
+    return level   # PIL fallback compresses at this level itself
+
+
 def _as_rgb_bytes(img: np.ndarray):
     img = np.ascontiguousarray(img)
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
@@ -81,9 +107,10 @@ def write_png(img: np.ndarray, path: str) -> None:
     """Synchronous PNG write via the native encoder (PIL fallback)."""
     lib = _load()
     if lib is None:
-        from raytracing_cuda_tpu.utils.images import save_png
+        from PIL import Image
 
-        save_png(img, path)
+        Image.fromarray(np.asarray(img), mode="RGB").save(
+            path, compress_level=_pil_png_level)
         return
     img, ptr = _as_rgb_bytes(img)
     rc = lib.fio_write_png(path.encode(), ptr, img.shape[1], img.shape[0])
@@ -98,14 +125,18 @@ class AsyncFrameWriter:
     worker encodes + writes. drain() blocks until the queue is empty.
     """
 
-    def __init__(self, ring: int = 4):
+    def __init__(self, ring: int = 4, threads: int = 1):
         lib = _load()
         if lib is None:
             raise RuntimeError(
                 "libframeio.so not built — run `make -C native` or "
                 "frameio.build()")
         self._lib = lib
-        self._h = lib.fio_writer_create(ring)
+        create2 = getattr(lib, "fio_writer_create2", None)
+        if threads > 1 and create2 is not None:
+            self._h = create2(ring, threads)
+        else:   # older .so without multi-worker support, or threads=1
+            self._h = lib.fio_writer_create(ring)
 
     def _handle(self):
         if not self._h:
