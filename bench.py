@@ -477,7 +477,9 @@ def main():
     ap.add_argument("--tune", action="store_true",
                     help="autotune megakernel launch knobs (tiles, "
                          "lane_split, t_bound) and emit autotune.json")
-    ap.add_argument("--tune-th", default="8,16,32,48,64")
+    # 24 and 40 divide 1080 and 480 exactly (zero pad rows); 48 is the
+    # committed 720p winner and its proven neighbors bracket it
+    ap.add_argument("--tune-th", default="8,16,24,32,40,48,64")
     ap.add_argument("--tune-tw", default="128,256,512")
     ap.add_argument("--tune-reps", type=int, default=5)
     ap.add_argument("--tune-n", type=int, default=10)
