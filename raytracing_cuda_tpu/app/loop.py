@@ -28,7 +28,11 @@ from raytracing_cuda_tpu.utils.timing import FrameStats, FrameTimer
 
 
 def _box_downsample(img, n: int):
-    """(H, W, 3) uint8 → (H/n, W/n, 3) uint8 box mean (preview readback)."""
+    """(H, W, 3) uint8 → (H/n, W/n, 3) uint8 box mean (preview readback).
+
+    DEVICE twin of utils.images.box_downsample (the host-side SSAA
+    resolve) — jnp because it is traced inside the preview jit; pinned
+    equal by test_host_and_device_downsample_agree."""
     if n == 1:
         return img
     H, W = img.shape[0], img.shape[1]

@@ -125,6 +125,14 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                         # a missing or corrupt checkpoint must not kill the
                         # interactive session; keep the current state
                         print(f"checkpoint load skipped: {e}")
+                elif ev.key == pygame.K_F12:
+                    # screenshot (beyond-reference): full-res render of the
+                    # CURRENT state, regardless of --preview downsampling
+                    from raytracing_cuda_tpu.utils.images import save_png
+
+                    shot = time.strftime("screenshot_%Y%m%d_%H%M%S.png")
+                    save_png(engine.frame_np(), shot)
+                    print(f"saved {shot}")
             elif ev.type == pygame.VIDEORESIZE and not fullscreen:
                 # live resolution change (reshape, main.cpp:293-306):
                 # record the target; the rebuild happens below once the

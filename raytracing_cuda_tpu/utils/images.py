@@ -31,14 +31,17 @@ def box_downsample(image, n: int) -> np.ndarray:
     """Average n×n pixel boxes — the SSAA resolve (beyond-reference:
     `render/record --ssaa N` renders at N× and resolves here).
 
-    (H·n, W·n, C) uint8 → (H, W, C) uint8, rounded half-up (clamp+truncate
-    of mean+0.5, matching the engine's quantize convention)."""
+    (H·n, W·n, C) uint8 → (H, W, C) uint8, rounded half-up (mean+0.5
+    truncate — a uint8 mean is ≤255 so the cast can't overflow). HOST
+    twin of the on-device preview resolve (app.loop._box_downsample,
+    jnp, traced inside the preview jit); the two are pinned equal by
+    tests/test_window_smoke.py::test_host_and_device_downsample_agree."""
     img = np.asarray(image)
     if n == 1:
         return img
     h, w = img.shape[0] // n, img.shape[1] // n
     acc = img.astype(np.float32).reshape(h, n, w, n, -1).mean(axis=(1, 3))
-    return np.clip(acc + 0.5, 0.0, 255.0).astype(np.uint8)
+    return (acc + 0.5).astype(np.uint8)
 
 
 def rmse(a, b) -> float:

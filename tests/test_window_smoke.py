@@ -55,6 +55,31 @@ def test_run_window_checkpoint_and_resize_events(tmp_path, monkeypatch):
     assert os.path.exists("raytracer_state.json")
 
 
+def test_run_window_screenshot_key(tmp_path, monkeypatch):
+    """F12 saves a full-res PNG of the current state (beyond-reference)."""
+    import glob
+
+    monkeypatch.chdir(tmp_path)
+    from raytracing_cuda_tpu.app import window as win
+
+    orig_init = pygame.init
+
+    def init_and_queue():
+        out = orig_init()
+        pygame.event.post(pygame.event.Event(pygame.KEYDOWN,
+                                             key=pygame.K_F12))
+        return out
+
+    monkeypatch.setattr(pygame, "init", init_and_queue)
+    assert win.run_window(CFG, max_frames=2) == 2
+    shots = glob.glob("screenshot_*.png")
+    assert len(shots) == 1
+    from PIL import Image
+
+    img = np.asarray(Image.open(shots[0]).convert("RGB"))
+    assert img.shape == (CFG.height, CFG.width, 3) and img.any()
+
+
 def test_run_window_preview_mode(tmp_path, monkeypatch):
     """--preview N: the loop renders full-res, reads back the 1/N device
     downsample and upscales in the blit — must run end-to-end."""
@@ -93,6 +118,24 @@ def test_box_downsample_matches_numpy():
     assert np.array_equal(got, want)
     assert np.array_equal(np.asarray(_box_downsample(jnp.asarray(img), 1)),
                           img)   # n=1 is a passthrough
+
+
+def test_host_and_device_downsample_agree():
+    """The SSAA resolve (utils.images.box_downsample, host numpy) and the
+    preview resolve (app.loop._box_downsample, device jnp) are twins —
+    same box mean, same +0.5 truncate rounding."""
+    import jax.numpy as jnp
+
+    from raytracing_cuda_tpu.app.loop import _box_downsample
+    from raytracing_cuda_tpu.utils.images import box_downsample
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+    img[:4, :4] = 255    # saturated box: mean+0.5 = 255.5 must stay 255
+    for n in (1, 2, 4):
+        host = box_downsample(img, n)
+        dev = np.asarray(_box_downsample(jnp.asarray(img), n))
+        assert np.array_equal(host, dev), n
 
 
 def test_preview_must_divide_framebuffer():
