@@ -223,13 +223,21 @@ def merge_autotune(full: dict, out: dict) -> dict:
     reads plus the winner's provenance (the full sweep telemetry stays at
     the top level for the flagship). Unit-tested (test_render_fast.py) —
     an earlier version of this write path clobbered sibling sections."""
+    keep = ("winner", "tile_h", "tile_w", "t_bound", "lane_split",
+            "median_ms", "size", "day", "yaw")
     full = dict(full)
     sizes = dict(full.get("sizes", {}))
-    sizes[out["size"]] = {k: out[k] for k in
-                          ("winner", "tile_h", "tile_w", "t_bound",
-                           "lane_split", "median_ms", "size", "day", "yaw")
-                          if k in out}
-    if full.get("size", FLAGSHIP_SIZE) == out["size"]:
+    sizes[out["size"]] = {k: out[k] for k in keep if k in out}
+    top_size = full.get("size")
+    if top_size not in (None, FLAGSHIP_SIZE):
+        # legacy file written by the old clobbering path with a non-720p
+        # top level (e.g. a --quick tune): park those knobs under "sizes"
+        # so they stop acting as the de-facto flagship — the comparison
+        # below is against FLAGSHIP_SIZE, never first-writer-wins
+        sizes.setdefault(top_size, {k: full[k] for k in keep if k in full})
+        log(f"autotune.json top level was {top_size}, not the flagship "
+            f"{FLAGSHIP_SIZE}; migrated it under 'sizes'")
+    if out["size"] == FLAGSHIP_SIZE:
         full.update(out)
     full["sizes"] = sizes
     return full
@@ -504,14 +512,18 @@ def main():
     apply_env_platform()
 
     # Wedge retry: a wedged tunnel at bench time costs the round its
-    # driver-captured headline (BENCH_r03 was an error record — the tunnel
-    # happened to be down the minute the driver ran). Probe the backend in
-    # a SUBPROCESS (in-process, client creation blocks forever and taints
-    # the interpreter: the blocked init holds the backend slot) and retry
-    # inside a bounded budget before giving up.
+    # driver-captured headline (BENCH_r03 AND BENCH_r04 were error records —
+    # the tunnel happened to be down the minute the driver ran). Probe the
+    # backend in a SUBPROCESS (in-process, client creation blocks forever
+    # and taints the interpreter: the blocked init holds the backend slot)
+    # and retry inside a bounded budget before giving up. The default is
+    # HOURS, not minutes: observed outages last multi-hour to half-day
+    # (CLAUDE.md), so a 15-minute window was noise against that
+    # distribution — a bench that lands mid-outage should survive a late
+    # recovery rather than hand the round another error record.
     if "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
         import subprocess
-        budget = float(os.environ.get("BENCH_BACKEND_RETRY_S", 900))
+        budget = float(os.environ.get("BENCH_BACKEND_RETRY_S", 3 * 3600))
         probe_t = float(os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT_S", 150))
         deadline = time.time() + budget
         attempt = 0

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-5 TPU measurement session (VERDICT r4 "Next round" items 1-6), run
+# on first tunnel recovery — normally fired by experiments/tpu_watcher.sh.
+# Each step is independently resumable; everything logs to
+# logs/round5_tpu_<ts>.log. Ordering:
+#   * the full bench FIRST — re-warms the compile cache for every flagship
+#     shape and captures the headline numbers before anything riskier runs;
+#   * the ablation + tunes in the middle (they compile candidate shapes);
+#   * a FINAL full bench so the committed tree ends compute-warm under
+#     whatever knobs the tunes selected (a mid-session wedge can truncate
+#     the tail, never the already-captured headline).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p logs
+LOG="logs/round5_tpu_$(date +%Y%m%d_%H%M%S).log"
+run() {
+  echo "=== $* ===" | tee -a "$LOG"
+  timeout "${STEP_TIMEOUT:-5400}" "$@" 2>&1 | tee -a "$LOG"
+  echo "=== rc=$? ===" | tee -a "$LOG"
+}
+
+# 1. warm cache + headline capture (VERDICT #1)
+run python bench.py
+# 2. megakernel cost decomposition at the pinned worst pose (VERDICT #2)
+run python experiments/megakernel_ablation.py --day 17.6 --yaw 315
+# 3. sky-resolve knob recalibration -> autotune.json "sky" (VERDICT #3)
+run python bench.py --tune-sky
+# 4. per-size launch-knob retune (VERDICT #3/#4): flagship last so the
+#    top-level entry ends on the 720p winner with a warm cache
+run python bench.py --tune --size 1920x1080,640x480,1280x720
+# 5. fresh non-720p numbers on the current kernel (VERDICT #4); bench
+#    auto-generates the CPU-oracle goldens for this size if missing and
+#    gates compiled-TPU parity against them (VERDICT #5)
+run python bench.py --size 1920x1080 --frames 120
+# 6. offline quality modes, measured once (VERDICT #6): SSAA 2x at 720p
+#    (renders 2560x1440) through the zlib writer; `record` exits non-zero
+#    if the writer dropped frames, so rc!=0 here = keeps-pace FAILED
+run bash -c 'time python -m raytracing_cuda_tpu record /tmp/r5_ssaa \
+    --ssaa 2 --png-level 6 --frames 60'
+run bash -c 'ls /tmp/r5_ssaa | wc -l; du -sh /tmp/r5_ssaa'
+# 7. final full bench: leaves the compile cache warm under the POST-tune
+#    knobs so the driver's BENCH_r05 run is warm no matter what the tunes
+#    changed (a knob flip invalidates the step-1 warm)
+run python bench.py
+echo "session complete; log: $LOG"

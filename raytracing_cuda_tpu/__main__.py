@@ -112,6 +112,17 @@ def main(argv=None):
                          "main.cpp:391)")
     args = ap.parse_args(argv)
 
+    # validate BEFORE building any engine: _config consumes --ssaa (it
+    # scales the render size), so a bad value must fail here, not after a
+    # minutes-long Engine construction; and window/bench never resolve
+    # SSAA frames, so accepting the flag there would silently change what
+    # the user sees
+    if args.ssaa < 1:
+        raise SystemExit(f"--ssaa must be >= 1, got {args.ssaa}")
+    if args.ssaa > 1 and args.command in ("window", "bench"):
+        raise SystemExit(f"--ssaa applies to render/record only; "
+                         f"{args.command} always runs at --size")
+
     # this environment's sitecustomize may import jax (consuming JAX_PLATFORMS)
     # before we run; re-apply the user's platform choice if they set one —
     # and when that choice excludes the remote backend, deregister its
@@ -168,9 +179,6 @@ def main(argv=None):
 
     eng = Engine(_config(args))
     eng.set_state(build_state(eng.state))
-
-    if args.ssaa < 1:
-        raise SystemExit(f"--ssaa must be >= 1, got {args.ssaa}")
 
     if args.command == "render":
         from raytracing_cuda_tpu.utils.images import box_downsample, save_png
@@ -250,8 +258,15 @@ def main(argv=None):
 
         level = frameio.set_png_level(args.png_level)
         if level != args.png_level:
-            print(f"note: PNG level clamped to {level} (zlib-less frameio "
-                  "build)", file=sys.stderr)
+            if level == 0 and args.png_level > 0:
+                # capability clamp: the loaded frameio build has no zlib
+                print("note: PNG compression unavailable (zlib-less "
+                      "frameio build) — writing uncompressed (level 0)",
+                      file=sys.stderr)
+            else:
+                # range clamp: request outside 0-9
+                print(f"note: PNG level clamped to {level} (valid range "
+                      "0-9)", file=sys.stderr)
         if frameio.available():
             # compressed encodes are ~ms-scale per frame: spread them over
             # a few workers so the writer keeps up with the render loop

@@ -128,9 +128,16 @@ def run_window(config: RenderConfig | None = None, max_frames: int | None = None
                 elif ev.key == pygame.K_F12:
                     # screenshot (beyond-reference): full-res render of the
                     # CURRENT state, regardless of --preview downsampling
+                    import os
+
                     from raytracing_cuda_tpu.utils.images import save_png
 
-                    shot = time.strftime("screenshot_%Y%m%d_%H%M%S.png")
+                    # strftime is 1-second resolution: suffix a counter so
+                    # two shots in the same second can't overwrite
+                    stem = time.strftime("screenshot_%Y%m%d_%H%M%S")
+                    shot, n = f"{stem}.png", 1
+                    while os.path.exists(shot):
+                        shot, n = f"{stem}_{n}.png", n + 1
                     save_png(engine.frame_np(), shot)
                     print(f"saved {shot}")
             elif ev.type == pygame.VIDEORESIZE and not fullscreen:

@@ -89,8 +89,14 @@ def set_png_level(level: int) -> int:
     level = max(0, min(9, int(level)))
     _pil_png_level = level
     lib = _load()
-    fn = getattr(lib, "fio_set_png_level", None) if lib is not None else None
-    if fn is not None:
+    if lib is not None:
+        fn = getattr(lib, "fio_set_png_level", None)
+        if fn is None:
+            # older .so without the zlib entry point: every native write
+            # encodes at its built-in level 0 — report 0 so callers know
+            # compression is off (the CLI's clamp note fires and the
+            # writer stays single-threaded)
+            return 0
         return int(fn(level))
     return level   # PIL fallback compresses at this level itself
 

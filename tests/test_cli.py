@@ -205,3 +205,16 @@ def test_frames_mesh_rejects_oversubscription():
 
     with pytest.raises(ValueError, match="available"):
         make_frames_mesh(1000)
+
+
+def test_ssaa_rejected_for_window_and_bench():
+    """--ssaa is render/record-only: window/bench must refuse it up front
+    (it used to be silently ignored for window), and bad values must fail
+    BEFORE any engine is built (advisor r4)."""
+    import pytest
+
+    for cmd in ("window", "bench"):
+        with pytest.raises(SystemExit):
+            main([cmd, "--ssaa", "2"])
+    with pytest.raises(SystemExit):
+        main(["render", "--ssaa", "0"])

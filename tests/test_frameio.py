@@ -96,3 +96,17 @@ def test_async_writer_multiworker_compressed(tmp_path):
         back = np.asarray(
             Image.open(str(tmp_path / f"{i}.png")).convert("RGB"))
         assert np.array_equal(back, f), i
+
+
+def test_set_png_level_old_so_reports_zero(monkeypatch):
+    """A loaded .so that predates fio_set_png_level encodes at its built-in
+    level 0 — set_png_level must report 0 (not echo the request) so the
+    CLI's clamp note fires and the writer stays single-threaded."""
+    from raytracing_cuda_tpu.utils import frameio
+
+    class OldLib:           # no fio_set_png_level attribute at all
+        pass
+
+    monkeypatch.setattr(frameio, "_load", lambda: OldLib())
+    assert frameio.set_png_level(6) == 0
+    assert frameio.set_png_level(0) == 0

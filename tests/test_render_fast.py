@@ -508,3 +508,33 @@ def test_launch_knobs_resolution_order():
         assert k3["lane_split"] == 1
     finally:
         pallas_rt._AUTOTUNE = old
+
+
+def test_merge_autotune_migrates_legacy_top_level():
+    """A legacy autotune.json whose top level is a non-flagship size (old
+    clobbering write path, e.g. a --quick tune) must not stay the de-facto
+    flagship: merge parks it under 'sizes', and a later flagship tune
+    reclaims the top level (advisor r4)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    legacy = {"winner": "tile8x128", "tile_h": 8, "tile_w": 128,
+              "size": "480x272", "sky": {"winner": "shipped"}}
+    out1080 = {"winner": "tile16x256", "tile_h": 16, "tile_w": 256,
+               "size": "1920x1080"}
+    merged = bench.merge_autotune(legacy, out1080)
+    # the quick-tune knobs moved under sizes; top level NOT updated by 1080
+    assert merged["sizes"]["480x272"]["tile_h"] == 8
+    assert merged["tile_h"] == 8 and merged["size"] == "480x272"
+    # a flagship tune reclaims the top level (old code compared against the
+    # legacy top-level size, so 720p could never win it back)
+    out720 = dict(out1080, size="1280x720", tile_h=48)
+    merged2 = bench.merge_autotune(merged, out720)
+    assert merged2["size"] == "1280x720" and merged2["tile_h"] == 48
+    assert merged2["sky"] == {"winner": "shipped"}
+    assert merged2["sizes"]["480x272"]["tile_h"] == 8
