@@ -35,9 +35,54 @@ import numpy as np
 
 PARITY_GATE = 1e-2   # BASELINE.json north-star RMSE contract
 
+SESSION_LOCK = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "logs", "tpu_session.lock")
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def wait_for_session_lock(lock_path=SESSION_LOCK, wait_s=None, stale_s=None,
+                          poll_s=30.0, sleep=time.sleep, clock=time.time):
+    """Block while a measurement session holds the TPU.
+
+    The recovery session (experiments/round5_tpu_session.sh) can still be
+    mid-tune when the driver's end-of-round bench fires; two programs
+    contending on the time-shared tunnel would depress the headline the
+    session exists to protect. The session holds `logs/tpu_session.lock`
+    (touched around every step), so: wait while the lock exists AND its
+    mtime is fresh (< BENCH_SESSION_LOCK_STALE_S, default 2 h — longer
+    than the session's 1.5 h per-step timeout, so a live session can't go
+    stale between touches), bounded by BENCH_SESSION_LOCK_WAIT_S (default
+    3 h). A session that died without cleanup (SIGKILL skips its trap)
+    parks the lock until staleness expires — bounded, never forever. The
+    session's own bench invocations set BENCH_IGNORE_SESSION_LOCK=1 or
+    they would deadlock on their own lock."""
+    wait_s = float(os.environ.get("BENCH_SESSION_LOCK_WAIT_S", 3 * 3600)
+                   if wait_s is None else wait_s)
+    stale_s = float(os.environ.get("BENCH_SESSION_LOCK_STALE_S", 2 * 3600)
+                    if stale_s is None else stale_s)
+    deadline = clock() + wait_s
+    waited = False
+    while clock() < deadline:
+        try:
+            age = clock() - os.path.getmtime(lock_path)
+        except OSError:          # lock gone: session finished (or never ran)
+            if waited:
+                log("session lock released; proceeding")
+            return True
+        if age > stale_s:
+            log(f"session lock is stale ({age:.0f}s > {stale_s:.0f}s) — "
+                "treating the session as dead and proceeding")
+            return True
+        if not waited:
+            log(f"measurement session holds {lock_path} (age {age:.0f}s); "
+                f"waiting up to {wait_s:.0f}s for it to finish")
+            waited = True
+        sleep(min(poll_s, max(1.0, deadline - clock())))
+    log(f"session lock still held after {wait_s:.0f}s — proceeding anyway")
+    return False
 
 
 def camera_path(i):
@@ -523,6 +568,10 @@ def main():
     # recovery rather than hand the round another error record.
     if "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
         import subprocess
+        # don't contend with a live recovery-session on the shared TPU
+        # (the session's own bench steps set BENCH_IGNORE_SESSION_LOCK=1)
+        if os.environ.get("BENCH_IGNORE_SESSION_LOCK") != "1":
+            wait_for_session_lock()
         budget = float(os.environ.get("BENCH_BACKEND_RETRY_S", 3 * 3600))
         probe_t = float(os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT_S", 150))
         deadline = time.time() + budget

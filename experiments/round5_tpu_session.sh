@@ -13,10 +13,22 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p logs
 LOG="logs/round5_tpu_$(date +%Y%m%d_%H%M%S).log"
+
+# Hold the session lock so a concurrently-fired driver bench waits instead
+# of contending on the shared TPU (bench.wait_for_session_lock; staleness
+# bound 2 h > the 1.5 h per-step timeout, refreshed around every step).
+# Our OWN bench steps must ignore the lock or they'd deadlock on it.
+LOCK="logs/tpu_session.lock"
+export BENCH_IGNORE_SESSION_LOCK=1
+touch "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
+
 run() {
   echo "=== $* ===" | tee -a "$LOG"
+  touch "$LOCK"
   timeout "${STEP_TIMEOUT:-5400}" "$@" 2>&1 | tee -a "$LOG"
   echo "=== rc=$? ===" | tee -a "$LOG"
+  touch "$LOCK"
 }
 
 # 1. warm cache + headline capture (VERDICT #1)

@@ -538,3 +538,71 @@ def test_merge_autotune_migrates_legacy_top_level():
     assert merged2["size"] == "1280x720" and merged2["tile_h"] == 48
     assert merged2["sky"] == {"winner": "shipped"}
     assert merged2["sizes"]["480x272"]["tile_h"] == 8
+
+
+def test_wait_for_session_lock(tmp_path):
+    """bench must wait while a live session holds the lock, proceed when it
+    is released or stale, and give up at the wait bound (fake clock — no
+    real sleeping)."""
+    import importlib.util
+    import os
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    lock = tmp_path / "tpu_session.lock"
+
+    class Clock:
+        t = 1000.0
+
+        def __call__(self):
+            return self.t
+
+    clock = Clock()
+    slept = []
+
+    def sleep(s):
+        slept.append(s)
+        clock.t += s
+
+    # no lock: returns immediately, no sleeping
+    assert bench.wait_for_session_lock(str(lock), wait_s=100, stale_s=50,
+                                       sleep=sleep, clock=clock) is True
+    assert not slept
+
+    # fresh lock released mid-wait: waits, then proceeds True
+    lock.write_text("")
+    os.utime(lock, (clock.t, clock.t))
+
+    def sleep_release(s):
+        slept.append(s)
+        clock.t += s
+        if len(slept) >= 3:
+            lock.unlink(missing_ok=True)
+
+    assert bench.wait_for_session_lock(str(lock), wait_s=1000, stale_s=500,
+                                       poll_s=10, sleep=sleep_release,
+                                       clock=clock) is True
+    assert len(slept) >= 3
+
+    # stale lock (dead session): proceeds True without waiting it out
+    lock.write_text("")
+    os.utime(lock, (clock.t - 600, clock.t - 600))
+    n0 = len(slept)
+    assert bench.wait_for_session_lock(str(lock), wait_s=1000, stale_s=500,
+                                       sleep=sleep, clock=clock) is True
+    assert len(slept) == n0
+
+    # lock held past the bound: gives up False after ~wait_s
+    def sleep_hold(s):
+        slept.append(s)
+        clock.t += s
+        os.utime(lock, (clock.t, clock.t))     # session keeps touching it
+
+    os.utime(lock, (clock.t, clock.t))
+    assert bench.wait_for_session_lock(str(lock), wait_s=100, stale_s=500,
+                                       poll_s=10, sleep=sleep_hold,
+                                       clock=clock) is False
