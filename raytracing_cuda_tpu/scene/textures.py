@@ -248,6 +248,38 @@ SKY_LAYOUT = "auto"
 SKY_PASSES = 2
 
 
+def _apply_tuned_sky_knobs(path: str | None = None) -> None:
+    """Override the shipped sky knobs with autotune.json's tuned winner.
+
+    The launch_knobs pattern (render/pallas_rt.py) applied to the resolve:
+    once `bench.py --tune-sky` commits a "sky" section, its `resolved`
+    knob set takes effect at import — no manual constant sync, so a tune
+    that lands between builder sessions can't leave the module defaults
+    (and test_sky_defaults_match_autotune) out of step. All knob values
+    are exact-by-construction variants (same texels either way), so an
+    override can never move parity. Unknown keys and wrong-typed values
+    are ignored; a missing or malformed file keeps the shipped defaults.
+    """
+    import json
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "autotune.json")
+    try:
+        with open(path) as f:
+            resolved = json.load(f).get("sky", {}).get("resolved", {})
+    except (OSError, ValueError):
+        return
+    allowed = {"SKY_SELECT": str, "SKY_ANCHOR": str,
+               "SKY_LAYOUT": str, "SKY_PASSES": int}
+    for k, v in resolved.items():
+        if k in allowed and type(v) is allowed[k]:
+            globals()[k] = v
+
+
+_apply_tuned_sky_knobs()
+
+
 def sky_group_for_width(row_w: int) -> int:
     """Sky-resolve group size for a framebuffer row width.
 

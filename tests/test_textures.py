@@ -283,3 +283,31 @@ def test_pair_resolve_bit_identical_to_preblended():
         assert np.array_equal(np.asarray(got_cov), np.asarray(ref_cov))
         assert np.array_equal(np.asarray(got_g), np.asarray(ref_g)), \
             f"grouped {sv}"
+
+
+def test_apply_tuned_sky_knobs(tmp_path):
+    """autotune.json's sky.resolved overrides the shipped knobs at import
+    (the launch_knobs pattern); unknown keys, wrong types, and missing or
+    malformed files are ignored."""
+    import json
+
+    import raytracing_cuda_tpu.scene.textures as tex
+
+    keys = ("SKY_SELECT", "SKY_ANCHOR", "SKY_LAYOUT", "SKY_PASSES")
+    saved = {k: getattr(tex, k) for k in keys}
+    try:
+        p = tmp_path / "autotune.json"
+        p.write_text(json.dumps({"sky": {"resolved": {
+            "SKY_SELECT": "onehot", "SKY_PASSES": 3,
+            "SKY_BOGUS": "x", "SKY_ANCHOR": 7}}}))
+        tex._apply_tuned_sky_knobs(str(p))
+        assert tex.SKY_SELECT == "onehot" and tex.SKY_PASSES == 3
+        assert tex.SKY_ANCHOR == saved["SKY_ANCHOR"]   # wrong type: ignored
+        assert "SKY_BOGUS" not in vars(tex)            # unknown key: ignored
+        tex._apply_tuned_sky_knobs(str(tmp_path / "missing.json"))
+        (tmp_path / "bad.json").write_text("{not json")
+        tex._apply_tuned_sky_knobs(str(tmp_path / "bad.json"))
+        assert tex.SKY_SELECT == "onehot"              # unchanged by either
+    finally:
+        for k, v in saved.items():
+            setattr(tex, k, v)
