@@ -276,12 +276,17 @@ def merge_autotune(full: dict, out: dict) -> dict:
     top_size = full.get("size")
     if top_size not in (None, FLAGSHIP_SIZE):
         # legacy file written by the old clobbering path with a non-720p
-        # top level (e.g. a --quick tune): park those knobs under "sizes"
-        # so they stop acting as the de-facto flagship — the comparison
-        # below is against FLAGSHIP_SIZE, never first-writer-wins
+        # top level (e.g. a --quick tune): MOVE those knobs under "sizes" —
+        # copy them down, then strip them from the top level, because
+        # launch_knobs falls back per KEY to the top level, so knobs left
+        # there would keep acting as the de-facto flagship for every
+        # unmatched size. The comparison below is against FLAGSHIP_SIZE,
+        # never first-writer-wins.
         sizes.setdefault(top_size, {k: full[k] for k in keep if k in full})
+        for k in keep + ("all_medians_ms",):
+            full.pop(k, None)
         log(f"autotune.json top level was {top_size}, not the flagship "
-            f"{FLAGSHIP_SIZE}; migrated it under 'sizes'")
+            f"{FLAGSHIP_SIZE}; moved it under 'sizes'")
     if out["size"] == FLAGSHIP_SIZE:
         full.update(out)
     full["sizes"] = sizes
@@ -451,8 +456,14 @@ def tune_sky(args):
 
     fns = {}
     for name, knobs in CANDS.items():
-        saved = {k: getattr(tex, k) for k in knobs}
-        for k, v in knobs.items():
+        # flip relative to the SHIPPED defaults, not the live module state:
+        # a previously-committed tune overrides the module knobs at import
+        # (textures._apply_tuned_sky_knobs), so flipping from the live
+        # state would turn the "shipped" arm into "previously tuned" and
+        # make the tune a one-way ratchet (a default that lost once could
+        # never win again on new silicon)
+        saved = {k: getattr(tex, k) for k in tex.SHIPPED_SKY_KNOBS}
+        for k, v in {**tex.SHIPPED_SKY_KNOBS, **knobs}.items():
             setattr(tex, k, v)
         log(f"tune-sky: compiling {name} ...")
         try:
@@ -495,12 +506,12 @@ def tune_sky(args):
     log("tune-sky ranking (pure+fade ms): " + "  ".join(
         f"{n}={med[n]['pure']:.2f}+{med[n]['fade']:.2f}" for n in ranked))
 
-    # "resolved" = the full knob set the winner implies (shipped defaults +
-    # the winning flip) — test_sky_defaults_match_autotune pins textures.py
-    # to it, the test_kernel_defaults_match_autotune pattern
-    resolved = {k: getattr(tex, k) for k in
-                ("SKY_SELECT", "SKY_ANCHOR", "SKY_LAYOUT", "SKY_PASSES")}
-    resolved.update(CANDS[ranked[0]])
+    # "resolved" = the full knob set the winner implies: the COMPILED-IN
+    # shipped defaults + the winning flip (not the live module state,
+    # which may carry a previous tune's override) —
+    # test_sky_defaults_match_autotune pins textures.py to it, the
+    # test_kernel_defaults_match_autotune pattern
+    resolved = {**tex.SHIPPED_SKY_KNOBS, **CANDS[ranked[0]]}
     out = {"winner": ranked[0], "knobs": CANDS[ranked[0]],
            "resolved": resolved,
            "medians_ms": {n: {b: round(v, 3) for b, v in bands.items()}
@@ -568,10 +579,6 @@ def main():
     # recovery rather than hand the round another error record.
     if "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
         import subprocess
-        # don't contend with a live recovery-session on the shared TPU
-        # (the session's own bench steps set BENCH_IGNORE_SESSION_LOCK=1)
-        if os.environ.get("BENCH_IGNORE_SESSION_LOCK") != "1":
-            wait_for_session_lock()
         budget = float(os.environ.get("BENCH_BACKEND_RETRY_S", 3 * 3600))
         probe_t = float(os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT_S", 150))
         deadline = time.time() + budget
@@ -582,9 +589,15 @@ def main():
                 # cap each probe by the remaining budget so the total wait
                 # can't overshoot BENCH_BACKEND_RETRY_S by a probe length
                 this_t = min(probe_t, max(10.0, deadline - time.time()))
+                # platform guard: an axon plugin that fails FAST (registration
+                # error, not a hang) falls back to CPU devices — that must
+                # read as failure, not recovery, or bench would "measure"
+                # the five configs on the CPU and emit a garbage headline
                 r = subprocess.run(
                     [sys.executable, "-c",
-                     "import jax; print('BENCH-PROBE-OK', len(jax.devices()))"],
+                     "import jax; d = jax.devices()\n"
+                     "assert d and d[0].platform != 'cpu', d\n"
+                     "print('BENCH-PROBE-OK', len(d), d[0].platform)"],
                     timeout=this_t, capture_output=True, text=True)
                 if r.returncode == 0 and "BENCH-PROBE-OK" in r.stdout:
                     if attempt > 1:
@@ -609,6 +622,15 @@ def main():
                     "retry_budget_s": budget}))
                 sys.exit(1)
             time.sleep(45)
+
+        # Don't contend with a live recovery-session on the shared TPU.
+        # Checked AFTER the probe succeeds, not before the retry loop:
+        # recovery is precisely the moment both this bench and the
+        # watcher-fired session wake up, so a pre-loop check would miss a
+        # session that started mid-retry. (The session's own bench steps
+        # set BENCH_IGNORE_SESSION_LOCK=1 to avoid self-deadlock.)
+        if os.environ.get("BENCH_IGNORE_SESSION_LOCK") != "1":
+            wait_for_session_lock()
 
     # Backend watchdog: the remote tunnel can wedge outright (axon client
     # creation blocks forever — observed 2026-08-17, >1 h). A bench that

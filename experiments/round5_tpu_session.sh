@@ -15,19 +15,28 @@ mkdir -p logs
 LOG="logs/round5_tpu_$(date +%Y%m%d_%H%M%S).log"
 
 # Hold the session lock so a concurrently-fired driver bench waits instead
-# of contending on the shared TPU (bench.wait_for_session_lock; staleness
-# bound 2 h > the 1.5 h per-step timeout, refreshed around every step).
+# of contending on the shared TPU (bench.wait_for_session_lock). A
+# background toucher keeps the lock's mtime fresh every 5 min so the 2 h
+# staleness guard holds no matter how long a step runs (per-step touches
+# alone would break the contract if STEP_TIMEOUT were raised past it).
 # Our OWN bench steps must ignore the lock or they'd deadlock on it.
 LOCK="logs/tpu_session.lock"
 export BENCH_IGNORE_SESSION_LOCK=1
 touch "$LOCK"
-trap 'rm -f "$LOCK"' EXIT
+( while :; do sleep 300; touch "$LOCK"; done ) &
+TOUCHER=$!
+trap 'kill "$TOUCHER" 2>/dev/null; rm -f "$LOCK"' EXIT
 
+# every step's rc is logged AND folded into WORST, which becomes the
+# session's exit code — the watcher ledgers it, so "session rc=0" really
+# means every step (including the record keeps-pace gate) passed
+WORST=0
 run() {
   echo "=== $* ===" | tee -a "$LOG"
-  touch "$LOCK"
   timeout "${STEP_TIMEOUT:-5400}" "$@" 2>&1 | tee -a "$LOG"
-  echo "=== rc=$? ===" | tee -a "$LOG"
+  local rc=$?
+  echo "=== rc=$rc ===" | tee -a "$LOG"
+  [ "$rc" -gt "$WORST" ] && WORST=$rc
   touch "$LOCK"
 }
 
@@ -54,4 +63,5 @@ run bash -c 'ls /tmp/r5_ssaa | wc -l; du -sh /tmp/r5_ssaa'
 #    knobs so the driver's BENCH_r05 run is warm no matter what the tunes
 #    changed (a knob flip invalidates the step-1 warm)
 run python bench.py
-echo "session complete; log: $LOG"
+echo "session complete (worst step rc=$WORST); log: $LOG"
+exit "$WORST"

@@ -248,6 +248,26 @@ SKY_LAYOUT = "auto"
 SKY_PASSES = 2
 
 
+# the compiled-in defaults above, captured BEFORE the autotune override —
+# bench.py --tune-sky flips each candidate relative to THESE, so a
+# previously-committed tune can never ratchet the candidate set (the
+# "shipped" arm must stay the true shipped config, and a default that
+# lost once must be able to win again on new silicon)
+SHIPPED_SKY_KNOBS = {k: globals()[k] for k in
+                     ("SKY_SELECT", "SKY_ANCHOR", "SKY_LAYOUT", "SKY_PASSES")}
+
+# every legal value per knob: all are exact-by-construction variants (same
+# texels either way), so an override can never move parity — but an
+# unrecognized value would fall through some consumer's silent else-branch
+# into an untuned algorithm combination, so only these install
+_SKY_KNOB_VALUES = {
+    "SKY_SELECT": {"twostage", "onehot", "binary"},
+    "SKY_ANCHOR": {"median", "mean", "minpix"},
+    "SKY_LAYOUT": {"auto", "gt", "flat"},
+    "SKY_PASSES": {1, 2, 3, 4},
+}
+
+
 def _apply_tuned_sky_knobs(path: str | None = None) -> None:
     """Override the shipped sky knobs with autotune.json's tuned winner.
 
@@ -255,11 +275,10 @@ def _apply_tuned_sky_knobs(path: str | None = None) -> None:
     once `bench.py --tune-sky` commits a "sky" section, its `resolved`
     knob set takes effect at import — no manual constant sync, so a tune
     that lands between builder sessions can't leave the module defaults
-    (and test_sky_defaults_match_autotune) out of step. All knob values
-    are exact-by-construction variants (same texels either way), so an
-    override can never move parity. Unknown keys and wrong-typed values
-    are ignored; a missing or malformed file keeps the shipped defaults.
-    """
+    (and test_sky_defaults_match_autotune) out of step. Unknown keys and
+    values outside _SKY_KNOB_VALUES are ignored; a missing, malformed, or
+    structurally-wrong file keeps the shipped defaults (this runs at
+    package import — it must never raise)."""
     import json
 
     if path is None:
@@ -268,12 +287,15 @@ def _apply_tuned_sky_knobs(path: str | None = None) -> None:
     try:
         with open(path) as f:
             resolved = json.load(f).get("sky", {}).get("resolved", {})
-    except (OSError, ValueError):
-        return
-    allowed = {"SKY_SELECT": str, "SKY_ANCHOR": str,
-               "SKY_LAYOUT": str, "SKY_PASSES": int}
-    for k, v in resolved.items():
-        if k in allowed and type(v) is allowed[k]:
+        items = list(resolved.items())
+    except Exception:      # OSError, bad JSON, or valid-JSON wrong shapes
+        return             # ({"sky": null}, top-level arrays, ...)
+    for k, v in items:
+        # str/int only (bool excluded: True == 1 would slip into PASSES;
+        # unhashables would make the set test raise)
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            continue
+        if v in _SKY_KNOB_VALUES.get(k, ()):
             globals()[k] = v
 
 

@@ -20,6 +20,18 @@ from raytracing_cuda_tpu.sim.actions import Action
 H, W = 96, 160
 
 
+def _load_bench():
+    """Load repo-root bench.py as a module (it is not in the package)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
 @pytest.fixture(scope="module")
 def scene():
     return build_scene()
@@ -422,13 +434,7 @@ def test_kernel_defaults_match_autotune():
 def test_merge_autotune_preserves_sibling_sections():
     """tune() must not clobber the 'sky' section or other sizes' winners
     (an earlier write path did — it rewrote the whole file)."""
-    import importlib.util
-    import pathlib
-
-    spec = importlib.util.spec_from_file_location(
-        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    bench = _load_bench()
 
     existing = {"winner": "tile48x128", "tile_h": 48, "tile_w": 128,
                 "t_bound": True, "lane_split": 1, "size": "1280x720",
@@ -515,24 +521,21 @@ def test_merge_autotune_migrates_legacy_top_level():
     clobbering write path, e.g. a --quick tune) must not stay the de-facto
     flagship: merge parks it under 'sizes', and a later flagship tune
     reclaims the top level (advisor r4)."""
-    import importlib.util
-    import pathlib
-
-    spec = importlib.util.spec_from_file_location(
-        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    bench = _load_bench()
 
     legacy = {"winner": "tile8x128", "tile_h": 8, "tile_w": 128,
               "size": "480x272", "sky": {"winner": "shipped"}}
     out1080 = {"winner": "tile16x256", "tile_h": 16, "tile_w": 256,
                "size": "1920x1080"}
     merged = bench.merge_autotune(legacy, out1080)
-    # the quick-tune knobs moved under sizes; top level NOT updated by 1080
+    # the quick-tune knobs MOVED under sizes — copied down AND stripped
+    # from the top level (launch_knobs falls back per key to the top
+    # level, so knobs left there would stay the de-facto flagship)
     assert merged["sizes"]["480x272"]["tile_h"] == 8
-    assert merged["tile_h"] == 8 and merged["size"] == "480x272"
-    # a flagship tune reclaims the top level (old code compared against the
-    # legacy top-level size, so 720p could never win it back)
+    assert "tile_h" not in merged and "size" not in merged
+    assert merged["sky"] == {"winner": "shipped"}
+    # a flagship tune then owns the top level (old code compared against
+    # the legacy top-level size, so 720p could never win it back)
     out720 = dict(out1080, size="1280x720", tile_h=48)
     merged2 = bench.merge_autotune(merged, out720)
     assert merged2["size"] == "1280x720" and merged2["tile_h"] == 48
@@ -544,14 +547,9 @@ def test_wait_for_session_lock(tmp_path):
     """bench must wait while a live session holds the lock, proceed when it
     is released or stale, and give up at the wait bound (fake clock — no
     real sleeping)."""
-    import importlib.util
     import os
-    import pathlib
 
-    spec = importlib.util.spec_from_file_location(
-        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    bench = _load_bench()
 
     lock = tmp_path / "tpu_session.lock"
 

@@ -299,15 +299,29 @@ def test_apply_tuned_sky_knobs(tmp_path):
         p = tmp_path / "autotune.json"
         p.write_text(json.dumps({"sky": {"resolved": {
             "SKY_SELECT": "onehot", "SKY_PASSES": 3,
-            "SKY_BOGUS": "x", "SKY_ANCHOR": 7}}}))
+            "SKY_BOGUS": "x", "SKY_ANCHOR": 7,
+            "SKY_LAYOUT": "medain"}}}))           # typo'd value: ignored
         tex._apply_tuned_sky_knobs(str(p))
         assert tex.SKY_SELECT == "onehot" and tex.SKY_PASSES == 3
         assert tex.SKY_ANCHOR == saved["SKY_ANCHOR"]   # wrong type: ignored
+        assert tex.SKY_LAYOUT == saved["SKY_LAYOUT"]   # bad value: ignored
         assert "SKY_BOGUS" not in vars(tex)            # unknown key: ignored
         tex._apply_tuned_sky_knobs(str(tmp_path / "missing.json"))
         (tmp_path / "bad.json").write_text("{not json")
         tex._apply_tuned_sky_knobs(str(tmp_path / "bad.json"))
-        assert tex.SKY_SELECT == "onehot"              # unchanged by either
+        # structurally-wrong-but-valid JSON must not raise at import time
+        (tmp_path / "null.json").write_text('{"sky": null}')
+        tex._apply_tuned_sky_knobs(str(tmp_path / "null.json"))
+        (tmp_path / "arr.json").write_text('[1, 2]')
+        tex._apply_tuned_sky_knobs(str(tmp_path / "arr.json"))
+        (tmp_path / "list.json").write_text(
+            '{"sky": {"resolved": {"SKY_PASSES": [2]}}}')
+        tex._apply_tuned_sky_knobs(str(tmp_path / "list.json"))
+        assert tex.SKY_SELECT == "onehot"              # unchanged by all
+        # SHIPPED_SKY_KNOBS stays the compiled-in defaults (tune-sky flips
+        # candidates relative to it — a committed tune must never ratchet)
+        assert tex.SHIPPED_SKY_KNOBS["SKY_SELECT"] == "twostage"
+        assert tex.SHIPPED_SKY_KNOBS["SKY_PASSES"] == 2
     finally:
         for k, v in saved.items():
             setattr(tex, k, v)
