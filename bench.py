@@ -627,10 +627,36 @@ def main():
         # Checked AFTER the probe succeeds, not before the retry loop:
         # recovery is precisely the moment both this bench and the
         # watcher-fired session wake up, so a pre-loop check would miss a
-        # session that started mid-retry. (The session's own bench steps
-        # set BENCH_IGNORE_SESSION_LOCK=1 to avoid self-deadlock.)
+        # session that started mid-retry. Then CLAIM the lock for our own
+        # measurement window — the session script polls the same lock
+        # before claiming, so a session fired while we measure waits for
+        # us (we remove it at exit; a killed bench leaves it to the
+        # session's 45-min foreign-lock staleness). The session's own
+        # bench steps set BENCH_IGNORE_SESSION_LOCK=1: they skip both the
+        # wait (self-deadlock) and the claim (the exit-removal would
+        # delete the session's lock mid-session).
         if os.environ.get("BENCH_IGNORE_SESSION_LOCK") != "1":
             wait_for_session_lock()
+            import atexit
+            import threading as _th
+            os.makedirs(os.path.dirname(SESSION_LOCK), exist_ok=True)
+            open(SESSION_LOCK, "w").close()
+            atexit.register(lambda: os.path.exists(SESSION_LOCK)
+                            and os.remove(SESSION_LOCK))
+
+            # Keep the claim FRESH while we run: a cold-cache bench can
+            # exceed the session's 45-min staleness cutoff, and a stale
+            # lock would let the session start mid-measurement. Daemon
+            # thread → dies with the process, so a killed bench stops
+            # touching and staleness correctly frees the session.
+            def _touch_lock():
+                while True:
+                    time.sleep(300)
+                    try:
+                        os.utime(SESSION_LOCK)
+                    except OSError:
+                        return
+            _th.Thread(target=_touch_lock, daemon=True).start()
 
     # Backend watchdog: the remote tunnel can wedge outright (axon client
     # creation blocks forever — observed 2026-08-17, >1 h). A bench that
