@@ -467,10 +467,14 @@ def tune_sky(args):
             setattr(tex, k, v)
         log(f"tune-sky: compiling {name} ...")
         try:
-            fn = jax.jit(lambda s: render_frame_static_sky(
-                scene, s, stack, sh, sw, h, w, **kw))
+            # the stack MUST ride as an argument, not a closure: a closed-
+            # over pack bakes ~2.15 GB of constants into the program, which
+            # the remote AOT toolchain rejects outright (HTTP 413 request-
+            # size limit — observed 2026-08-18, every candidate failed)
+            fn = jax.jit(lambda s, stk: render_frame_static_sky(
+                scene, s, stk, sh, sw, h, w, **kw))
             for s in states.values():
-                fn(s)                 # trace+compile INSIDE the knob scope
+                fn(s, stack)          # trace+compile INSIDE the knob scope
             fns[name] = fn
         except Exception as e:
             log(f"tune-sky: {name} failed to compile/run: {e}")
@@ -485,7 +489,7 @@ def tune_sky(args):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
-            out = fn(s)
+            out = fn(s, stack)
         device_sync(out)
         return (time.perf_counter() - t0) / n * 1e3
 

@@ -59,6 +59,10 @@ ARMS = (
     ("depth2", dict(ablate=("depth2",))),
     ("nocull", dict(ablate=("nocull",))),
     ("no_tbound", dict(t_bound=False)),
+    # below-horizon light cull (output-identical, pinned by
+    # test_hcull_bit_identical) — an OPTIMIZATION arm, not a diagnostic:
+    # full vs hcull is the interleaved A/B that decides HCULL_DEFAULT
+    ("hcull", dict(ablate=("hcull",))),
 )
 
 
@@ -71,7 +75,14 @@ def main():
     ap.add_argument("--n", type=int, default=10)
     ap.add_argument("--interpret", action="store_true",
                     help="CPU interpret-mode smoke (tiny size recommended)")
+    ap.add_argument("--arms", default=None,
+                    help="comma list to run a focused subset (e.g. "
+                         "'full,hcull' for the hcull A/B); default: all")
     args = ap.parse_args()
+    arms = ARMS if args.arms is None else tuple(
+        a for a in ARMS if a[0] in set(args.arms.split(",")))
+    if args.arms is not None and len(arms) != len(set(args.arms.split(","))):
+        sys.exit(f"unknown arm in --arms {args.arms}")
 
     enable_compilation_cache()
     w, h = (int(v) for v in args.size.split("x"))
@@ -88,7 +99,7 @@ def main():
 
     fns = {name: jax.jit(lambda extra=extra: render_base_planes_pallas(
         scene_f, lights, ambient, rays, h, w, **kw, **extra)[0])
-        for name, extra in ARMS}
+        for name, extra in arms}
 
     def block(fn, n):
         t0 = time.perf_counter()
@@ -105,10 +116,11 @@ def main():
     for r in range(args.reps):
         for name, fn in fns.items():   # interleaved: arm order within rep
             meds.setdefault(name, []).append(block(fn, args.n))
-    full = statistics.median(meds["full"])
+    ref_name = "full" if "full" in meds else next(iter(meds))
+    full = statistics.median(meds[ref_name])
     for name, v in meds.items():
         m = statistics.median(v)
-        print(f"{name}: {m:.2f} ms (delta vs full {m - full:+.2f}) "
+        print(f"{name}: {m:.2f} ms (delta vs {ref_name} {m - full:+.2f}) "
               f"[{', '.join('%.1f' % x for x in v)}]")
 
 

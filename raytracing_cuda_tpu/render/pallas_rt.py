@@ -133,6 +133,12 @@ DEFAULT_TILE_W = int(_load_autotune().get("tile_w", 128))
 DEFAULT_T_BOUND = bool(_load_autotune().get("t_bound", True))
 DEFAULT_LANE_SPLIT = int(_load_autotune().get("lane_split", 1))
 
+# Below-horizon light cull (see the `hcull` block in _make_kernel.step):
+# default OFF until the interleaved TPU A/B lands — opt in per launch with
+# ablate=("hcull",). Flip to True (and keep "nohcull" for decomposition)
+# once docs/PERFORMANCE.md records a win.
+HCULL_DEFAULT = False
+
 
 def launch_knobs(height: int, width: int) -> dict:
     """Launch knobs for a frame size (VERDICT r3 #4: the tile optimum is
@@ -534,12 +540,16 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
     # "noshadow" = skip all occlusion sweeps (lights never blocked),
     # "noshade"  = skip the shading/bounce epilogue entirely,
     # "nocull"   = disable the interval culls (sweep every cluster),
-    # "depthN"   = cap the bounce depth at N (depth0 = primaries only).
+    # "depthN"   = cap the bounce depth at N (depth0 = primaries only),
+    # "hcull"    = force the below-horizon light cull ON (A/B arm),
+    # "nohcull"  = force it OFF (decomposition arm once the default flips).
     # ablate=() compiles the exact shipped kernel.
     maxd = MAX_DEPTH
     for a in ablate:
         if a.startswith("depth"):
             maxd = int(a[5:])
+    hcull = "hcull" in ablate or (
+        HCULL_DEFAULT and "nocull" not in ablate and "nohcull" not in ablate)
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -814,6 +824,36 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                     # practice; this makes it explicit)
                     t_hi_s = (jnp.max(needs * sdists) + 0.001
                               if t_bound else None)
+                    # Below-horizon light cull ("hcull"): moon = −sun
+                    # (state.py:129, y-offset 0), so on almost every frame
+                    # exactly one light sits strictly below the sea plane.
+                    # If additionally every lane that still needs this light
+                    # (a) hit strictly above the plane — hy > sea_y + 0.001,
+                    #     so the occlusion-ray origin soy = hy + 0.001·sdy
+                    #     stays above sea_y for any unit sdy — and
+                    # (b) points at the light steeply enough that _plane_t's
+                    #     dy² > 1e-5 accept test fires (−sdy > 0.0032 >
+                    #     √1e-5; sdy < 0 follows from light_y < sea_y < hy),
+                    # then each such ray crosses the plane at
+                    # t = (sea_y − soy)/sdy with 0 < t < sdist − 0.001
+                    # (light_y = soy + (sdist − 0.001)·sdy < sea_y rearranges
+                    # to exactly that) — i.e. the occ_pl term alone occludes
+                    # every needed lane, and occ := needs reproduces the full
+                    # computation's effect on every lane the shading reads
+                    # (occ on need==0 lanes is downstream-irrelevant, the
+                    # same contract the shipped any_need gate already uses).
+                    # Three scalar reduces replace every occlusion sweep for
+                    # the dead light. NaN sdy (degenerate sdist) poisons the
+                    # min and vetoes — conservative.
+                    if hcull:
+                        min_hy = jnp.min(
+                            jnp.where(needs > 0, bsl(hy, s), f32(BIG)))
+                        min_msdy = jnp.min(
+                            jnp.where(needs > 0, -sdys, f32(BIG)))
+                        plane_kill = ((P[base + 1] < sea_y)
+                                      & (min_hy > sea_y + 0.001)
+                                      & (min_msdy > 0.0032))
+                        any_need = any_need & jnp.logical_not(plane_kill)
                     occ_f = jnp.zeros((TH, TWB), f32)
                     for kk, Ctk in enumerate(Ct_list):
                         if "noshadow" in ablate:
@@ -864,6 +904,9 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                         occ_f = occ_f + jax.lax.cond(
                             any_need, occ_pl, zero2d,
                             (bsl(soy, s), bsl(sdy, s), sdists))
+                    if hcull:    # plane-kill: the plane occludes all needed
+                        occ_f = occ_f + jnp.where(
+                            plane_kill, f32(1.0), f32(0.0)) * needs
                     occ_bands.append(occ_f)
 
                 occ_f = (jnp.concatenate(occ_bands, axis=1)

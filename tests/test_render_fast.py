@@ -304,6 +304,47 @@ def test_ablation_arms_semantics(scene, sky):
         assert not np.asarray(dark[c]).any()
 
 
+def test_hcull_bit_identical(scene, sky):
+    """The below-horizon light cull (ablate "hcull", pallas_rt.py) is a pure
+    skip: bit-identical to the shipped kernel wherever it engages or vetoes.
+
+    Poses cover: sun below the horizon (day 6 morning — sunrise is day 8,
+    state.py orbit), moon below (day 14), deep night, a raised sea with the
+    island submerged (needed lanes AT the waterline must veto the cull via
+    the min-hy guard, not corrupt occlusion), and a grazing light barely
+    below the horizon (lanes whose −sdy falls under _plane_t's √1e-5 accept
+    epsilon must veto via the steepness guard). Also re-checked under
+    lane_split=2 (the cull's reduces are band-scoped)."""
+    from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    kw = dict(tri_clusters=ISLAND_TRI_CLUSTERS,
+              sph_clusters=ISLAND_SPH_CLUSTERS, interpret=True)
+    poses = [CASES[0], CASES[1], CASES[2], CASES[3],
+             dict(day=20.0115)]          # sun_y ≈ −1.5: grazing shadow rays
+    for case in poses:
+        st = _state(**case)
+        scene_f, lights, ambient = sim.derive_frame(scene, st)
+        rays = sim.camera_rays(st.cam, W / H)
+        full = render_base_planes_pallas(scene_f, lights, ambient, rays,
+                                         H, W, **kw)
+        hc = render_base_planes_pallas(scene_f, lights, ambient, rays,
+                                       H, W, ablate=("hcull",), **kw)
+        for pa, pb in zip(full, hc):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb)), case
+    st = _state(**CASES[0])
+    scene_f, lights, ambient = sim.derive_frame(scene, st)
+    rays = sim.camera_rays(st.cam, W / H)
+    a = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                  lane_split=2, tile_w=256, **kw)
+    b = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                  lane_split=2, tile_w=256,
+                                  ablate=("hcull",), **kw)
+    for pa, pb in zip(a, b):
+        assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_t_subs_requires_tri_clusters(scene):
     """t_subs without tri_clusters (or with the wrong arity) would misalign
     the sphere-cluster bound slots in the params vector — must raise, not
