@@ -60,9 +60,12 @@ ARMS = (
     ("nocull", dict(ablate=("nocull",))),
     ("no_tbound", dict(t_bound=False)),
     # below-horizon light cull (output-identical, pinned by
-    # test_hcull_bit_identical) — an OPTIMIZATION arm, not a diagnostic:
-    # full vs hcull is the interleaved A/B that decides HCULL_DEFAULT
+    # test_hcull_bit_identical): shipped ON since the 2026-08-18 A/B
+    # (worst pose 10.15 → 8.56 ms, day 10.14 → 8.42 — docs/PERFORMANCE.md).
+    # "nohcull" measures its value at any pose; "hcull" forces it on for
+    # A/Bs run while the default is off.
     ("hcull", dict(ablate=("hcull",))),
+    ("nohcull", dict(ablate=("nohcull",))),
 )
 
 

@@ -134,10 +134,11 @@ DEFAULT_T_BOUND = bool(_load_autotune().get("t_bound", True))
 DEFAULT_LANE_SPLIT = int(_load_autotune().get("lane_split", 1))
 
 # Below-horizon light cull (see the `hcull` block in _make_kernel.step):
-# default OFF until the interleaved TPU A/B lands — opt in per launch with
-# ablate=("hcull",). Flip to True (and keep "nohcull" for decomposition)
-# once docs/PERFORMANCE.md records a win.
-HCULL_DEFAULT = False
+# ON by default — interleaved TPU A/B 2026-08-18 (docs/PERFORMANCE.md):
+# worst pose 10.15 → 8.56 ms (−1.59), day pose 10.14 → 8.42 ms (−1.72);
+# output-identical (test_hcull_bit_identical). ablate=("nohcull",) is the
+# decomposition arm that measures the cull's value at any pose.
+HCULL_DEFAULT = True
 
 
 def launch_knobs(height: int, width: int) -> dict:

@@ -305,8 +305,10 @@ def test_ablation_arms_semantics(scene, sky):
 
 
 def test_hcull_bit_identical(scene, sky):
-    """The below-horizon light cull (ablate "hcull", pallas_rt.py) is a pure
-    skip: bit-identical to the shipped kernel wherever it engages or vetoes.
+    """The below-horizon light cull (pallas_rt.py, HCULL_DEFAULT) is a pure
+    skip: bit-identical to the cull-free kernel wherever it engages or
+    vetoes. Compares the explicit arms ("nohcull" vs "hcull") so the pin
+    holds regardless of which one HCULL_DEFAULT ships.
 
     Poses cover: sun below the horizon (day 6 morning — sunrise is day 8,
     state.py orbit), moon below (day 14), deep night, a raised sea with the
@@ -328,7 +330,7 @@ def test_hcull_bit_identical(scene, sky):
         scene_f, lights, ambient = sim.derive_frame(scene, st)
         rays = sim.camera_rays(st.cam, W / H)
         full = render_base_planes_pallas(scene_f, lights, ambient, rays,
-                                         H, W, **kw)
+                                         H, W, ablate=("nohcull",), **kw)
         hc = render_base_planes_pallas(scene_f, lights, ambient, rays,
                                        H, W, ablate=("hcull",), **kw)
         for pa, pb in zip(full, hc):
@@ -337,7 +339,8 @@ def test_hcull_bit_identical(scene, sky):
     scene_f, lights, ambient = sim.derive_frame(scene, st)
     rays = sim.camera_rays(st.cam, W / H)
     a = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
-                                  lane_split=2, tile_w=256, **kw)
+                                  lane_split=2, tile_w=256,
+                                  ablate=("nohcull",), **kw)
     b = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
                                   lane_split=2, tile_w=256,
                                   ablate=("hcull",), **kw)
