@@ -66,6 +66,13 @@ ARMS = (
     # A/Bs run while the default is off.
     ("hcull", dict(ablate=("hcull",))),
     ("nohcull", dict(ablate=("nohcull",))),
+    # per-light specular gate (output-identical, pinned by
+    # test_specgate_bit_identical): sibling-cond hoist of the Phong-spec
+    # chain, skipped on no-shine tiles and tile-wide plane-killed lights.
+    # "specgate" forces it on for A/Bs while SPECGATE_DEFAULT is off;
+    # "nospecgate" measures its value once the default flips.
+    ("specgate", dict(ablate=("specgate",))),
+    ("nospecgate", dict(ablate=("nospecgate",))),
 )
 
 

@@ -140,6 +140,24 @@ DEFAULT_LANE_SPLIT = int(_load_autotune().get("lane_split", 1))
 # decomposition arm that measures the cull's value at any pose.
 HCULL_DEFAULT = True
 
+# Specular gate ("specgate"): hoist each light's Phong-specular chain
+# (reflect + _norm3 + the exp2/log2 power — the transcendental tail the
+# post-hcull decomposition put inside the now-largest shading slice) out of
+# shade_fn into a sibling lax.cond per light, skipped when (a) no shaded
+# lane in the tile is shiny, or (b) the hcull conditions hold tile-wide
+# (light strictly below the sea plane, every needy lane's hit strictly
+# above it, every needy shadow ray steep enough for _plane_t's accept
+# test) — under (b) every needy lane's occ_pl term fires, so the
+# post-occlusion angle is exactly 0 on every shaded lane (non-needy shaded
+# lanes have angle == 0 by construction), and spec ≡ spec_pow·shine·0 = 0
+# with spec_pow finite; under (a) spec ≡ 0 via its own shine mask. Either
+# way the skip is output-identical (test_specgate_bit_identical; non-
+# shaded lanes may see different phr intermediates, but w masks them).
+# OFF by default: landed at round-5 end, pending an interleaved TPU A/B
+# (ablate=("specgate",) is the A/B arm; flip requires re-warming the
+# compile cache with `python bench.py` — the traced program changes).
+SPECGATE_DEFAULT = False
+
 
 def launch_knobs(height: int, width: int) -> dict:
     """Launch knobs for a frame size (VERDICT r3 #4: the tile optimum is
@@ -543,7 +561,9 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
     # "nocull"   = disable the interval culls (sweep every cluster),
     # "depthN"   = cap the bounce depth at N (depth0 = primaries only),
     # "hcull"    = force the below-horizon light cull ON (A/B arm),
-    # "nohcull"  = force it OFF (decomposition arm once the default flips).
+    # "nohcull"  = force it OFF (decomposition arm once the default flips),
+    # "specgate" = force the per-light specular gate ON (A/B arm),
+    # "nospecgate" = force it OFF.
     # ablate=() compiles the exact shipped kernel.
     maxd = MAX_DEPTH
     for a in ablate:
@@ -551,6 +571,12 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
             maxd = int(a[5:])
     hcull = "hcull" in ablate or (
         HCULL_DEFAULT and "nocull" not in ablate and "nohcull" not in ablate)
+    # excluded under noshadow (the gate's proof needs occlusion active) and
+    # noshade (the spec tensors would be dead weight beside a skipped
+    # epilogue); an explicit "specgate" arm overrides, diagnostics-at-risk
+    specgate = "specgate" in ablate or (
+        SPECGATE_DEFAULT and not any(a in ablate for a in (
+            "nospecgate", "nocull", "noshadow", "noshade")))
     def kernel(params_ref, coef_ref,
                r_ref, g_ref, b_ref, mw_ref, mdx_ref, mdy_ref, mdz_ref):
         # grid = (frames, row tiles, col tiles); the frame dimension batches
@@ -784,6 +810,7 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
             zero2d = lambda a: jnp.zeros((TH, TWB), f32)
             angles = []
             sdirs = []
+            spec_kill = []
             for li in range(2):
                 base = P_LPOS0 if li == 0 else P_LPOS1
                 lvx = P[base] - hx
@@ -800,6 +827,19 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 smx = soy * sdz - soz * sdy
                 smy = soz * sdx - sox * sdz
                 smz = sox * sdy - soy * sdx
+
+                if specgate:
+                    # tile-wide hcull conditions (a band-agnostic superset
+                    # of the per-band plane_kill): under them every needy
+                    # lane's occ_pl term fires regardless of hcull/bands,
+                    # so this light's post-occlusion angle — and with it
+                    # its specular — is exactly 0 on every shaded lane.
+                    # NaN sdy poisons the min and vetoes — conservative.
+                    min_hy_t = jnp.min(jnp.where(need > 0, hy, f32(BIG)))
+                    min_msdy_t = jnp.min(jnp.where(need > 0, -sdy, f32(BIG)))
+                    spec_kill.append((P[base + 1] < sea_y)
+                                     & (min_hy_t > sea_y + 0.001)
+                                     & (min_msdy_t > 0.0032))
 
                 occ_bands = []
                 for s in range(lane_split):
@@ -915,14 +955,57 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                 angles.append(jnp.where(occ_f > 0, 0.0, angle))
                 sdirs.append((sdx, sdy, sdz))
 
+            if specgate:
+                # Per-light specular tensors as SIBLING conds (shade_fn runs
+                # under a cond and Mosaic rejects nested scf.if). Skipped
+                # when no shaded lane is shiny or when spec_kill proves the
+                # light plane-occluded tile-wide; the computed branch is the
+                # exact expression chain shade_fn used inline, op for op.
+                any_shaded = jnp.max(shaded_f) > 0
+                any_shine = jnp.max(
+                    jnp.where(shaded_f > 0, shine, f32(0.0))) > 0
+                zero_full = lambda a: jnp.zeros((TH, TW), f32)
+                spec_pre = []
+                for li in range(2):
+                    sargs = (angles[li], *sdirs[li], nx, ny, nz,
+                             dx, dy, dz, shine, spec_e)
+
+                    def spec_fn(args):
+                        (angle, sdx, sdy, sdz, nx, ny, nz,
+                         dx, dy, dz, shine, spec_e) = args
+                        ldn = -(sdx * nx + sdy * ny + sdz * nz)
+                        spx, spy, spz = _norm3(-sdx - 2.0 * ldn * nx,
+                                               -sdy - 2.0 * ldn * ny,
+                                               -sdz - 2.0 * ldn * nz)
+                        sbase = jnp.maximum(
+                            0.0, -(spx * dx + spy * dy + spz * dz))
+                        spec_pow = jnp.where(
+                            sbase > 0,
+                            jnp.exp2(spec_e * jnp.log2(
+                                jnp.maximum(sbase, 1e-30))),
+                            jnp.where(spec_e > 0, 0.0, 1.0))
+                        return jnp.where(
+                            shine > 0, spec_pow * shine * angle, 0.0)
+
+                    pred = (any_shaded & any_shine
+                            & jnp.logical_not(spec_kill[li]))
+                    spec_pre.append(
+                        jax.lax.cond(pred, spec_fn, zero_full, sargs))
+
             def shade_fn(args):
                 """Emissive add + Phong diffuse/specular + mirror step
                 (kernel.cu:169-218) — the transcendental-heavy tail, run only
                 when some lane in the tile actually hit something."""
-                (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
-                 hx, hy, hz, nx, ny, nz, colr, colg, colb,
-                 shine, spec_e, kr, em_f, shaded_f, hit_f, live,
-                 a0, a1, s0x, s0y, s0z, s1x, s1y, s1z) = args
+                if specgate:
+                    (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
+                     hx, hy, hz, nx, ny, nz, colr, colg, colb,
+                     shine, spec_e, kr, em_f, shaded_f, hit_f, live,
+                     a0, a1, s0x, s0y, s0z, s1x, s1y, s1z, sp0, sp1) = args
+                else:
+                    (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
+                     hx, hy, hz, nx, ny, nz, colr, colg, colb,
+                     shine, spec_e, kr, em_f, shaded_f, hit_f, live,
+                     a0, a1, s0x, s0y, s0z, s1x, s1y, s1z) = args
 
                 lit = live * hit_f * em_f > 0
                 ra = ra + jnp.where(lit, thr * colr, 0.0)
@@ -941,20 +1024,29 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
                     phg = phg + colg * P[cbase + 1] * aint
                     phb = phb + colb * P[cbase + 2] * aint
 
-                    # Phong specular (kernel.cu:198-205): reflect -sdir
-                    ldn = -(sdx * nx + sdy * ny + sdz * nz)
-                    spx, spy, spz = _norm3(-sdx - 2.0 * ldn * nx,
-                                           -sdy - 2.0 * ldn * ny,
-                                           -sdz - 2.0 * ldn * nz)
-                    sbase = jnp.maximum(0.0, -(spx * dx + spy * dy + spz * dz))
-                    # exp2(e·log2(s)) == power(s, e) for s > 0; at s == 0 the
-                    # clamp would yield 2^(−99.66·e) ≠ power(0, e) — match
-                    # the oracle exactly: 0 for e > 0, 1 for e == 0
-                    spec_pow = jnp.where(
-                        sbase > 0,
-                        jnp.exp2(spec_e * jnp.log2(jnp.maximum(sbase, 1e-30))),
-                        jnp.where(spec_e > 0, 0.0, 1.0))
-                    spec = jnp.where(shine > 0, spec_pow * shine * angle, 0.0)
+                    # Phong specular (kernel.cu:198-205): reflect -sdir.
+                    # Under specgate the tensor arrives precomputed from the
+                    # sibling cond (identical chain, or exact zeros when the
+                    # gate proved it zero on every shaded lane).
+                    if specgate:
+                        spec = (sp0, sp1)[li]
+                    else:
+                        ldn = -(sdx * nx + sdy * ny + sdz * nz)
+                        spx, spy, spz = _norm3(-sdx - 2.0 * ldn * nx,
+                                               -sdy - 2.0 * ldn * ny,
+                                               -sdz - 2.0 * ldn * nz)
+                        sbase = jnp.maximum(
+                            0.0, -(spx * dx + spy * dy + spz * dz))
+                        # exp2(e·log2(s)) == power(s, e) for s > 0; at s == 0
+                        # the clamp would yield 2^(−99.66·e) ≠ power(0, e) —
+                        # match the oracle exactly: 0 for e > 0, 1 for e == 0
+                        spec_pow = jnp.where(
+                            sbase > 0,
+                            jnp.exp2(spec_e * jnp.log2(
+                                jnp.maximum(sbase, 1e-30))),
+                            jnp.where(spec_e > 0, 0.0, 1.0))
+                        spec = jnp.where(
+                            shine > 0, spec_pow * shine * angle, 0.0)
                     phr = phr + spec
                     phg = phg + spec
                     phb = phb + spec
@@ -988,7 +1080,8 @@ def _make_kernel(H, W, TH, TW, t_pads, s_pads, s_occl, total_h=None,
             shade_args = (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
                           hx, hy, hz, nx, ny, nz, colr, colg, colb,
                           shine, spec_e, kr, em_f, shaded_f, hit_f, live,
-                          angles[0], angles[1], *sdirs[0], *sdirs[1])
+                          angles[0], angles[1], *sdirs[0], *sdirs[1]) + (
+                          tuple(spec_pre) if specgate else ())
             if "noshade" in ablate:     # static: the shade branch vanishes
                 (ox, oy, oz, dx, dy, dz, thr, ra, ga, ba,
                  live) = shade_skip(shade_args)

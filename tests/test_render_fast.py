@@ -348,6 +348,55 @@ def test_hcull_bit_identical(scene, sky):
         assert np.array_equal(np.asarray(pa), np.asarray(pb))
 
 
+def test_specgate_bit_identical(scene, sky):
+    """The per-light specular gate (pallas_rt.py, SPECGATE_DEFAULT) hoists
+    the Phong-specular chain into sibling conds skipped on no-shine tiles
+    and on tile-wide plane-killed lights: bit-identical to the inline
+    kernel wherever it engages or vetoes. Compares the explicit arms
+    ("nospecgate" vs "specgate") so the pin holds regardless of which one
+    SPECGATE_DEFAULT ships. Poses mirror the hcull pin (sun below, moon
+    below, deep night, raised sea at the waterline, grazing light under
+    the steepness veto); also cross-checked against hcull OFF (the gate's
+    occ_pl proof must hold without hcull's occ := needs shortcut) and
+    under lane_split=2 (spec_kill is tile-wide, bands must agree)."""
+    from raytracing_cuda_tpu.render.pallas_rt import render_base_planes_pallas
+    from raytracing_cuda_tpu.scene.builders import (ISLAND_SPH_CLUSTERS,
+                                                    ISLAND_TRI_CLUSTERS)
+
+    kw = dict(tri_clusters=ISLAND_TRI_CLUSTERS,
+              sph_clusters=ISLAND_SPH_CLUSTERS, interpret=True)
+    poses = [CASES[0], CASES[1], CASES[2], CASES[3],
+             dict(day=20.0115)]          # sun_y ≈ −1.5: grazing shadow rays
+    for case in poses:
+        st = _state(**case)
+        scene_f, lights, ambient = sim.derive_frame(scene, st)
+        rays = sim.camera_rays(st.cam, W / H)
+        full = render_base_planes_pallas(scene_f, lights, ambient, rays,
+                                         H, W, ablate=("nospecgate",), **kw)
+        sg = render_base_planes_pallas(scene_f, lights, ambient, rays,
+                                       H, W, ablate=("specgate",), **kw)
+        for pa, pb in zip(full, sg):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb)), case
+        nh = render_base_planes_pallas(
+            scene_f, lights, ambient, rays, H, W,
+            ablate=("specgate", "nohcull"), **kw)
+        base_nh = render_base_planes_pallas(
+            scene_f, lights, ambient, rays, H, W, ablate=("nohcull",), **kw)
+        for pa, pb in zip(base_nh, nh):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb)), case
+    st = _state(**CASES[0])
+    scene_f, lights, ambient = sim.derive_frame(scene, st)
+    rays = sim.camera_rays(st.cam, W / H)
+    a = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                  lane_split=2, tile_w=256,
+                                  ablate=("nospecgate",), **kw)
+    b = render_base_planes_pallas(scene_f, lights, ambient, rays, H, W,
+                                  lane_split=2, tile_w=256,
+                                  ablate=("specgate",), **kw)
+    for pa, pb in zip(a, b):
+        assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_t_subs_requires_tri_clusters(scene):
     """t_subs without tri_clusters (or with the wrong arity) would misalign
     the sphere-cluster bound slots in the params vector — must raise, not
