@@ -153,9 +153,14 @@ HCULL_DEFAULT = True
 # with spec_pow finite; under (a) spec ≡ 0 via its own shine mask. Either
 # way the skip is output-identical (test_specgate_bit_identical; non-
 # shaded lanes may see different phr intermediates, but w masks them).
-# OFF by default: landed at round-5 end, pending an interleaved TPU A/B
-# (ablate=("specgate",) is the A/B arm; flip requires re-warming the
-# compile cache with `python bench.py` — the traced program changes).
+# OFF by default: MEASURED-NEUTRAL on this tunnel (interleaved TPU A/B
+# 2026-08-18, ablate=("specgate",) vs full: worst pose 7.86 → 7.84 ms,
+# day 5.47 → 5.43 — both within rep spread). The transcendental chain
+# fuses to ~free beside the sweeps' port pressure (the div/sqrt-free
+# occlusion lesson again: elementwise op counting loses to the fusion
+# model). Kept, pinned, and free when off — re-A/B on dedicated silicon
+# where VPU/transcendental balance differs; a flip requires re-warming
+# the compile cache with `python bench.py` (the traced program changes).
 SPECGATE_DEFAULT = False
 
 
